@@ -1,0 +1,126 @@
+"""Fixed-point (Q-format) tensor numerics.
+
+TPU-native equivalent of the reference `dsp-fixedpoint` crate
+(dsp-fixedpoint/src/lib.rs, ops.rs).  Instead of a wrapper type, Q-format
+values are plain integer arrays plus a static fractional-bit count ``f``
+threaded through as a Python int.  All semantics are bit-exact with the
+reference:
+
+* widening multiply then *truncating* arithmetic right shift (no rounding
+  bias) — ``Q*Q`` keeps the LHS scale (ops.rs:145-153), ``T*Q``/``apply``
+  quantizes via ``trunc`` (lib.rs:297-327);
+* float→Q encodes with round-half-away-from-zero
+  (num_traits_impl.rs:30-62 ``.round()``), Q→float is exact scaling;
+* wrapping two's-complement arithmetic throughout (jnp integer ops wrap).
+
+Shapes are arrays; ``f`` is static so everything stays jit-friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_INT_INFO = {
+    jnp.dtype("int8"): (jnp.int8, jnp.int16),
+    jnp.dtype("int16"): (jnp.int16, jnp.int32),
+    jnp.dtype("int32"): (jnp.int32, jnp.int64),
+}
+
+
+def widen_dtype(dtype) -> jnp.dtype:
+    """The accumulator dtype for a base integer dtype (i32 -> i64)."""
+    return jnp.dtype(_INT_INFO[jnp.dtype(dtype)][1])
+
+
+def shs(x, f: int):
+    """Signed shift: positive ``f`` shifts left, negative shifts right.
+
+    Arithmetic (sign-preserving, truncating toward -inf) on signed ints,
+    matching `Shift::shs` (dsp-fixedpoint/src/lib.rs:60-90).
+    """
+    if f >= 0:
+        return x << f
+    return x >> (-f)
+
+
+def q_mul(a, b, f: int, *, dtype=jnp.int32):
+    """``Q<f> * Q<f'> -> Q<f>`` with the *rhs* scale ``f`` shifted out.
+
+    Widens both operands to the accumulator dtype, multiplies, then does a
+    truncating arithmetic right shift by ``f`` and wraps back to ``dtype``
+    (ops.rs:145-153: result keeps the LHS scale, shift is by the RHS F).
+    """
+    acc = widen_dtype(dtype)
+    wide = a.astype(acc) * b.astype(acc)
+    return shs(wide, -f).astype(dtype)
+
+
+def q_apply(c, x, f: int, *, dtype=jnp.int32):
+    """Apply Q-format gain ``c`` (f fractional bits) to raw integer ``x``.
+
+    ``(c_wide * x_wide) >> f`` truncated back to ``dtype`` — the
+    reference's ``Q::apply``/``T*Q`` (lib.rs:315-327, 449-456).
+    """
+    return q_mul(c, x, f, dtype=dtype)
+
+
+def mul_wide(a, b, *, dtype=jnp.int32):
+    """Widening multiply without the quantizing shift (``Q::mul_wide``,
+    lib.rs:302-313). Returns the accumulator-dtype product."""
+    acc = widen_dtype(dtype)
+    return a.astype(acc) * b.astype(acc)
+
+
+def quantize(acc, f: int, *, dtype=jnp.int32):
+    """Accumulator -> base: truncating shift by ``f`` then wrap-cast down
+    (``Q::quantize`` = ``trunc`` + ``down``, lib.rs:286-300)."""
+    return shs(acc, -f).astype(dtype)
+
+
+def scale(x, f_from: int, f_to: int):
+    """Rescale raw bits between fractional-bit counts (``Q::scale``,
+    lib.rs:248-260): truncating signed shift by ``f_to - f_from``."""
+    return shs(x, f_to - f_from)
+
+
+def round_half_away(x):
+    """Rust ``f64::round`` semantics: round half away from zero.
+
+    numpy's ``round`` is half-to-even and must not be used for encoding.
+    """
+    return np.trunc(x + np.copysign(0.5, x))
+
+
+def from_float(value, f: int, *, dtype=jnp.int32):
+    """Encode float(s) as Q<f> bits with round-half-away-from-zero
+    (num_traits_impl.rs:30-45). Works on numpy/python scalars and arrays;
+    returns a numpy array (static coefficient path)."""
+    v = np.asarray(value, dtype=np.float64) * np.float64(2.0) ** f
+    return round_half_away(v).astype(np.dtype(jnp.dtype(dtype).name))
+
+
+def to_float(bits, f: int, *, float_dtype=jnp.float64):
+    """Exact Q<f> -> float scaling (``as_f64``, lib.rs:378-393)."""
+    return jnp.asarray(bits).astype(float_dtype) * (2.0 ** -f)
+
+
+def delta(f: int) -> float:
+    """Step between adjacent representable values (``Q::DELTA``)."""
+    return 2.0 ** -f
+
+
+def q_min(dtype=jnp.int32) -> int:
+    return int(jnp.iinfo(dtype).min)
+
+
+def q_max(dtype=jnp.int32) -> int:
+    return int(jnp.iinfo(dtype).max)
+
+
+def saturating_neg_i32(x):
+    """-x with i32::MIN saturating to i32::MAX (used by atan2 octant fold,
+    src/atan2.rs:67-79)."""
+    imin = jnp.int32(-2147483648)
+    imax = jnp.int32(2147483647)
+    return jnp.where(x == imin, imax, -x).astype(jnp.int32)
