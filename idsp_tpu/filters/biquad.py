@@ -412,7 +412,7 @@ def cascade_step(ba, state: Df1State, x0):
         prev_x = y
         ys.append(jnp.stack([y0, y[..., 0]], axis=-1))
         cur = y0
-    return Df1State(x=new_x, y=jnp.stack(ys, axis=-3)), cur
+    return Df1State(x=new_x, y=jnp.stack(ys, axis=-2)), cur
 
 
 def cascade_step_q(ba, f: int, state: Df1State, x0, *, dtype=jnp.int32):
@@ -439,7 +439,7 @@ def cascade_step_q(ba, f: int, state: Df1State, x0, *, dtype=jnp.int32):
         prev_x = y
         ys.append(jnp.stack([y0, y[..., 0]], axis=-1))
         cur = y0
-    return Df1State(x=new_x, y=jnp.stack(ys, axis=-3)), cur
+    return Df1State(x=new_x, y=jnp.stack(ys, axis=-2)), cur
 
 
 # --- scan drivers -----------------------------------------------------------

@@ -95,9 +95,20 @@ def round_half_away(x):
 def from_float(value, f: int, *, dtype=jnp.int32):
     """Encode float(s) as Q<f> bits with round-half-away-from-zero
     (num_traits_impl.rs:30-45). Works on numpy/python scalars and arrays;
-    returns a numpy array (static coefficient path)."""
+    returns a numpy array (static coefficient path).
+
+    Rust float->int ``as`` casts saturate at the type bounds (NaN -> 0);
+    the reference relies on this when quantizing out-of-range
+    coefficients (e.g. the gain-1000 Q30 lowpass doctest,
+    coefficients.rs:289-301), so we saturate too.
+    """
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    info = np.iinfo(np_dtype)
     v = np.asarray(value, dtype=np.float64) * np.float64(2.0) ** f
-    return round_half_away(v).astype(np.dtype(jnp.dtype(dtype).name))
+    v = round_half_away(v)
+    v = np.where(np.isnan(v), 0.0, v)
+    v = np.clip(v, float(info.min), float(info.max))
+    return v.astype(np_dtype)
 
 
 def to_float(bits, f: int, *, float_dtype=jnp.float64):

@@ -1,0 +1,203 @@
+"""Time-block (sequence) parallel streaming primitives.
+
+The reference carries filter state across block boundaries inside one
+core (ring-buffer `copy_within`, src/hbf.rs:93-101; scan carries).  When
+the time axis is sharded over a mesh axis, those carries become
+collectives:
+
+* `halo_exchange_prev`: the last ``h`` samples of each device's block
+  are sent to the right neighbor (`ppermute`) — the overlap-save halo
+  for FIR windows and one-sample discriminator history.
+* `sharded_df1_float`: an exact (up to FP reassociation) distributed
+  DF1 biquad — each device runs the block-local associative scan
+  assuming zero initial state, then a log-depth cross-device prefix of
+  the per-block affine state maps fixes up the initial conditions.
+  This is the scaling-book "linear recurrence = scan + carry compose"
+  recipe applied to IIR.
+
+These functions are written to run inside `shard_map` with a named time
+axis; they are also exercised single-device in tests via a size-1 axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..filters import biquad
+
+
+def halo_exchange_prev(x, axis_name: str, h: int = 1, *, fill=0):
+    """Return the ``h`` samples preceding this device's block.
+
+    Block layout: x has time on axis 0 (this device's shard).  Device 0
+    receives ``fill``.  One `ppermute` to the right neighbor.
+    """
+    tail = x[-h:]
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    prev = jax.lax.ppermute(
+        tail, axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    return jnp.where(idx == 0, jnp.full_like(prev, fill), prev)
+
+
+def time_sharded_prev(x, axis_name: str, state_prev, state_valid):
+    """One-sample history for a time-sharded stream.
+
+    Device 0 uses the carried (state_prev, state_valid) from the
+    previous block; others take the neighbor's last sample.  Returns
+    (prev array aligned with x, valid mask).
+    """
+    prev_tail = halo_exchange_prev(x, axis_name, 1)
+    idx = jax.lax.axis_index(axis_name)
+    first_prev = jnp.where(idx == 0, state_prev, prev_tail[0])
+    first_valid = jnp.where(idx == 0, state_valid, True)
+    prev = jnp.concatenate([first_prev[None], x[:-1]], axis=0)
+    rest_valid = jnp.ones((x.shape[0] - 1,) + tuple(first_valid.shape), bool)
+    valid = jnp.concatenate([first_valid[None], rest_valid], axis=0)
+    return prev, valid
+
+
+def replicate_from(x, axis_name: str, src):
+    """Replicate device ``src``'s value across the axis (psum of a
+    single-source contribution — value-exact, VMA-verifiable)."""
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.psum(
+        jnp.where(idx == src, x, jnp.zeros_like(x)), axis_name
+    )
+
+
+def _affine_of_block(ba, n):
+    """The n-step homogeneous map of the DF1 feedback recurrence:
+    s -> A^n s where A = [[a1, a2], [1, 0]] (numpy, static)."""
+    import numpy as np
+
+    a = np.array(
+        [[float(ba[..., 3]), float(ba[..., 4])], [1.0, 0.0]], dtype=np.float64
+    )
+    return np.linalg.matrix_power(a, n)
+
+
+def sharded_df1_float(ba, state: biquad.Df1State, xs, axis_name: str):
+    """Distributed float DF1 biquad over a time-sharded stream.
+
+    Runs inside `shard_map`; ``xs`` is this device's (n_local, ...)
+    block, ``state`` is the global carry entering the FIRST device.
+
+    Algorithm:
+      1. x-halo: fetch the 2 input samples before this block
+         (`ppermute`), so the FIR part is local.
+      2. Each device scans its block with zero initial y-state,
+         obtaining outputs `y0_loc` and the block's affine action
+         (A^n, v) on the incoming y-state.
+      3. Exclusive prefix of affine maps across devices via
+         `all_gather` of (A^n, v) + static compose (device counts are
+         small; log-depth isn't worth the latency).
+      4. Fix up: y = y0_loc + (C A^k) s_in contributions via the
+         homogeneous response, which equals scanning M powers — done
+         with the same associative machinery block-locally.
+
+    Returns (new_state_global, ys_local).
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    n = xs.shape[0]
+
+    # 1. input halo for the FIR taps
+    prev2 = halo_exchange_prev(xs, axis_name, 2)  # (2, ...)
+    x_state = jnp.where(
+        idx == 0,
+        state.x,
+        jnp.stack([prev2[-1], prev2[-2]], axis=-1),
+    )
+
+    # 2. block-local pass with zero initial feedback state
+    zero_y = jnp.zeros_like(state.y)
+    st_loc = biquad.Df1State(x=x_state, y=zero_y)
+    _, ys_loc = biquad.df1_block_float(ba, st_loc, xs)
+
+    # Block affine action on the y-state: s_out = A^n s_in + v where v is
+    # the state reached from zero initial conditions.
+    v = jnp.stack([ys_loc[-1], ys_loc[-2] if n >= 2 else zero_y[..., 0]], axis=-1)
+    a1 = jnp.broadcast_to(ba[..., 3], v.shape[:-1])
+    a2 = jnp.broadcast_to(ba[..., 4], v.shape[:-1])
+    one = jnp.ones_like(a1)
+    zr = jnp.zeros_like(a1)
+    a_mat = jnp.stack(
+        [jnp.stack([a1, a2], axis=-1), jnp.stack([one, zr], axis=-1)],
+        axis=-2,
+    )
+    a_pow = jnp.linalg.matrix_power(a_mat, n)  # static n
+
+    # 3. incoming state for each device: exclusive affine prefix.
+    mats = jax.lax.all_gather(a_pow, axis_name)  # (n_dev, ..., 2, 2)
+    vs = jax.lax.all_gather(v, axis_name)  # (n_dev, ..., 2)
+
+    def compose(carry, k):
+        m_acc, v_acc = carry
+        m_k = mats[k]
+        v_k = vs[k]
+        return (
+            jnp.einsum("...ij,...jk->...ik", m_k, m_acc),
+            jnp.einsum("...ij,...j->...i", m_k, v_acc) + v_k,
+        ), None
+
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=v.dtype), a_pow.shape)
+    zero_v = jnp.zeros_like(v)
+    # Mark the loop carries as varying over the sharded axis (the loop
+    # bodies read the device index, so the carry is device-varying).
+    def _vary(x):
+        try:
+            if axis_name in jax.typeof(x).vma:
+                return x
+            return jax.lax.pcast(x, (axis_name,), to="varying")
+        except (AttributeError, TypeError):
+            return x
+
+    eye = _vary(eye)
+    zero_v = _vary(zero_v)
+
+    def incoming(carry_s):
+        # s_in for device idx = prefix_{k<idx}(affine_k) applied to carry_s
+        def body(k, acc):
+            m_acc, v_acc = acc
+            take = k < idx
+            m_k = jnp.where(take, mats[k], eye)
+            v_k = jnp.where(take, vs[k], zero_v)
+            return (
+                jnp.einsum("...ij,...jk->...ik", m_k, m_acc),
+                jnp.einsum("...ij,...j->...i", m_k, v_acc) + v_k,
+            )
+
+        m_tot, v_tot = jax.lax.fori_loop(0, n_dev, body, (eye, zero_v))
+        return jnp.einsum("...ij,...j->...i", m_tot, carry_s) + v_tot
+
+    s_in = incoming(state.y)
+
+    # 4. add the homogeneous response C A^(k+1) s_in to the block-local
+    # outputs.  Reuse the associative block scan with zero input: with
+    # x = 0 the FIR part vanishes and the scan emits exactly A^(k+1) s_in.
+    st_hom = biquad.Df1State(x=jnp.zeros_like(state.x), y=s_in)
+    _, hom = biquad.df1_block_float(ba, st_hom, jnp.zeros_like(xs))
+    ys = ys_loc + hom
+
+    # global new state: compose ALL block affine maps (mats/vs are already
+    # gathered, so every device computes the same replicated result).
+    # The carry leaving the LAST device is the global new state; psum of a
+    # single-source contribution makes it verifiably replicated.
+    s_out_last = jnp.einsum("...ij,...j->...i", a_pow, s_in) + v
+    x_out_last = jnp.stack(
+        [xs[-1], xs[-2] if n >= 2 else x_state[..., 0]], axis=-1
+    )
+    s_out = replicate_from(s_out_last, axis_name, n_dev - 1)
+    x_out = replicate_from(x_out_last, axis_name, n_dev - 1)
+    return biquad.Df1State(x=x_out, y=s_out), ys
+
+
+def channel_sharding(mesh, axis: str = "dp"):
+    """NamedSharding spec for (channel, time) arrays sharded on channels."""
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P(axis, None))
