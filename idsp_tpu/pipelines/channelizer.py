@@ -1,0 +1,110 @@
+"""Maximally decimated polyphase analysis channel bank.
+
+TPU-native equivalent of reference examples/polyphase_channelizer.rs,
+generalized from the fixed 4-channel DFT4 to any power-of-two M (the
+BASELINE #5 wideband bank uses M=1024): the polyphase FIR is M parallel
+decimated FIRs (one per phase) over the frame axis — shifted-slice FMAs
+like the HBF stages — and the DFT across channels is a matmul against
+the M x M DFT matrix (MXU) or an FFT for large M.
+
+Sign convention matches the reference's hand-unrolled DFT4
+(polyphase_channelizer.rs:77-101): y[m] = sum_k x_k * exp(-j*2*pi*k*m/M)
+(unnormalized forward DFT).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def prototype(m: int = 4, taps: int = 8) -> np.ndarray:
+    """Hamming-windowed sinc prototype, DC-normalized
+    (polyphase_channelizer.rs:29-44)."""
+    n = m * taps
+    fc = 0.5 / m * 0.9
+    mid = (n - 1) / 2.0
+    i = np.arange(n, dtype=np.float64)
+    x = 2.0 * np.pi * fc * (i - mid)
+    sinc = np.where(x == 0.0, 1.0, np.sin(x) / np.where(x == 0.0, 1.0, x))
+    w = 0.54 - 0.46 * np.cos(2.0 * np.pi * i / (n - 1))
+    h = 2.0 * fc * sinc * w
+    return (h / h.sum()).astype(np.float32)
+
+
+class BankState(NamedTuple):
+    """Polyphase FIR history: (taps-1) carried frames, each (M, 2) IQ."""
+
+    hist: jax.Array  # (..., taps-1, m, 2)
+
+
+def init(m: int = 4, taps: int = 8, shape=(), dtype=jnp.float32) -> BankState:
+    return BankState(hist=jnp.zeros(shape + (taps - 1, m, 2), dtype))
+
+
+@lru_cache(maxsize=None)
+def _dft_matrix(m: int) -> np.ndarray:
+    """(m, m) forward (negative-exponent) DFT matrix."""
+    k = np.arange(m)
+    w = np.exp(-2j * np.pi * np.outer(k, k) / m)
+    return w.astype(np.complex64)
+
+
+def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8):
+    """Process (..., n_frames, m, 2) input frames (polyphase FIR + DFT).
+
+    The frame-major input is the reference's `View::from_frames` layout
+    (polyphase_channelizer.rs:103-119).  Returns (state, y) with y of
+    the same shape: per frame, M channel IQ pairs.
+    """
+    if proto is None:
+        proto = prototype(m, taps)
+    coeff = np.asarray(proto, np.float32).reshape(taps, m)  # [tap][phase]
+    n = x.shape[-3]
+
+    ext = jnp.concatenate([state.hist, x], axis=-3)  # (..., taps-1+n, m, 2)
+    acc = None
+    # y[t] = sum_tap coeff[tap] * frame[t - tap]; tap 0 = newest frame.
+    for tap in range(taps):
+        sl = jax.lax.slice_in_dim(ext, taps - 1 - tap, taps - 1 - tap + n, axis=-3)
+        term = sl * coeff[tap][:, None]
+        acc = term if acc is None else acc + term
+    new_hist = jax.lax.slice_in_dim(ext, n, taps - 1 + n, axis=-3)
+
+    # DFT across the channel axis: y[m] = sum_k x[k] e^{-2pi i k m / M}.
+    w = _dft_matrix(m)
+    z = acc[..., 0] + 1j * acc[..., 1]  # (..., n, m) complex
+    zf = jnp.einsum("...k,km->...m", z.astype(jnp.complex64), jnp.asarray(w))
+    y = jnp.stack([zf.real, zf.imag], axis=-1)
+    return BankState(hist=new_hist), y
+
+
+def frames_from_stream(x_iq, m: int):
+    """(..., n*m, 2) interleaved IQ stream -> (..., n, m, 2) frames."""
+    t = x_iq.shape[-2]
+    assert t % m == 0
+    return x_iq.reshape(*x_iq.shape[:-2], t // m, m, 2)
+
+
+def tone(freq: float, n: int):
+    """Unit complex tone fixture (polyphase_channelizer.rs:124-128)."""
+    i = np.arange(n, dtype=np.float64)
+    ph = 2.0 * np.pi * freq * i
+    return jnp.asarray(
+        np.stack([np.cos(ph), np.sin(ph)], axis=-1).astype(np.float32)
+    )
+
+
+def channel_powers(freq: float, m: int = 4, taps: int = 8, n: int = 4096):
+    """Mean per-channel power of a tone (polyphase_channelizer.rs:
+    133-146), skipping the first 128 frames."""
+    x = frames_from_stream(tone(freq, n), m)
+    st = init(m, taps)
+    _, y = channelize(st, x, m=m, taps=taps)
+    y = np.asarray(y, np.float64)[128:]
+    p = (y**2).sum(axis=-1).mean(axis=0)
+    return p
