@@ -1,0 +1,114 @@
+"""Wideband multi-channel DDC bank with per-channel PLL carrier tracking.
+
+BASELINE config #5: a wideband input stream feeds C digital
+downconverters (C = 1024 in the headline config), each with its own NCO
+frequency, a shared-coefficient I/Q lowpass, decimation, and a
+per-channel PLL tracking the residual carrier phase.
+
+TPU structure:
+* NCO phases are closed-form wrapping ramps (no scan) -> `cossin` DDS,
+  (t, c) vectorized.
+* The mix is the fixed-point late-quantize complex multiply.
+* The I/Q lowpass is the integer `Lowpass<2>` with channels on lanes
+  (one shared gain config — the `Lanes` pattern).
+* Decimation is a strided slice (phase-aligned blocks).
+* The PLL bank scans time once for all channels (7 words/channel).
+
+Sharding: channels are embarrassingly parallel — shard (t, c) arrays on
+the c axis (`parallel.channel_sharding`); time-block sharding composes
+via the carried state like any stage in `parallel.stream`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..filters import lowpass, pll
+from ..ops import accu
+from ..ops.trig import atan2, cossin
+from .. import fxp
+
+
+class DdcBankState(NamedTuple):
+    nco_phase: jax.Array  # (c,) i32
+    lp_i: lowpass.LowpassState  # (c, N) i64
+    lp_q: lowpass.LowpassState
+    pll: pll.PllState  # per-channel
+
+
+def init(n_channels: int, lp_order: int = 2) -> DdcBankState:
+    return DdcBankState(
+        nco_phase=jnp.zeros((n_channels,), jnp.int32),
+        lp_i=lowpass.init(lp_order, (n_channels,)),
+        lp_q=lowpass.init(lp_order, (n_channels,)),
+        pll=pll.init((n_channels,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("decimate",))
+def ddc_bank_block(
+    state: DdcBankState,
+    x,
+    nco_steps,
+    lp_gains,
+    pll_ba,
+    *,
+    decimate: int = 16,
+):
+    """Process one block. x: (t,) i32 wideband samples; t must be a
+    multiple of `decimate`.
+
+    Returns (state, (i, q, phase, frequency)) at the decimated rate,
+    each (t/decimate, c).
+    """
+    t = x.shape[0]
+    c = state.nco_phase.shape[0]
+    assert t % decimate == 0
+
+    # per-channel NCO (t, c), continuing from the carried phase
+    phases = jnp.swapaxes(accu.ramp(state.nco_phase, nco_steps, t), -1, -2)
+    lo_re, lo_im = cossin(phases)
+    # conjugate mix: x * exp(-j phi) with Q32<32> LO
+    xi = x[:, None]
+    mix_i = fxp.q_apply(lo_re, xi, 32)
+    mix_q = fxp.q_apply(-lo_im, xi, 32)
+
+    lp_i, yi = lowpass.block(lp_gains, state.lp_i, mix_i)
+    lp_q, yq = lowpass.block(lp_gains, state.lp_q, mix_q)
+
+    # decimate (t, c) -> (t/d, c)
+    yi_d = yi[::decimate]
+    yq_d = yq[::decimate]
+
+    # per-channel PLL on the residual carrier phase
+    ph = atan2(yq_d, yi_d)
+    pll_state, y_pll = pll.block(pll_ba, state.pll, ph)
+
+    new_state = DdcBankState(
+        nco_phase=accu.advance(state.nco_phase, nco_steps, t),
+        lp_i=lp_i,
+        lp_q=lp_q,
+        pll=pll_state,
+    )
+    return new_state, (yi_d, yq_d, y_pll, pll.frequency(pll_state))
+
+
+def make_tone_bank(steps, n, amplitude=1 << 27, offsets=None):
+    """Fixture: a sum of per-channel carriers with small frequency
+    offsets (what each channel's PLL should acquire)."""
+    steps = np.asarray(steps, np.int64)
+    if offsets is None:
+        offsets = np.zeros_like(steps)
+    phases = accu.ramp(
+        jnp.zeros(len(steps), jnp.int32),
+        jnp.asarray((steps + offsets).astype(np.int32)),
+        n,
+    )  # (c, t)
+    re, _ = cossin(phases)
+    tones = (re.astype(jnp.int64) * amplitude) >> 31
+    return jnp.sum(tones, axis=0).astype(jnp.int32)

@@ -1,0 +1,116 @@
+"""Rate-conversion cascade (BASELINE #4) and DDC bank (BASELINE #5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from idsp_tpu.filters import cic, hbf, lowpass, pll
+from idsp_tpu.ops import accu, sweptsine
+from idsp_tpu.pipelines import ddc_bank, rate_conversion
+
+
+def test_rate_conversion_round_trip_tone():
+    # A passband tone survives dec16 -> int16 at unity gain.
+    depth = 4
+    n = 1 << 14
+    f = 0.4 / (1 << depth) * 0.5  # well inside the decimated passband
+    i = np.arange(n)
+    x = jnp.asarray(np.cos(2 * np.pi * f * i).astype(np.float32))
+    st = rate_conversion.init(depth)
+    st, y = rate_conversion.round_trip(st, x)
+    y = np.asarray(y, np.float64)
+    x = np.asarray(x, np.float64)
+    # compare steady-state amplitude via power (delay-insensitive)
+    p_in = (x[4096:] ** 2).mean()
+    p_out = (y[4096:] ** 2).mean()
+    assert abs(p_out / p_in - 1.0) < 1e-3
+
+
+def test_rate_conversion_stopband_kill():
+    # Content above the decimated Nyquist is annihilated (>= 98 dB).
+    depth = 2
+    n = 1 << 13
+    f = 0.35  # far above 0.5/4
+    i = np.arange(n)
+    x = jnp.asarray(np.cos(2 * np.pi * f * i).astype(np.float32))
+    st = rate_conversion.init(depth)
+    st, y = rate_conversion.round_trip(st, x)
+    p_out = (np.asarray(y, np.float64)[2048:] ** 2).mean()
+    assert p_out < 0.5 * 10 ** (-98 / 10)
+
+
+def test_cic_hbf_composite_decimator():
+    # CIC by 5 then HBF by 4: total 20x; DC passes with known gain.
+    cic_rate = 4
+    depth = 2
+    n = 20 * 64
+    x = jnp.full((n,), 1000, jnp.int32)
+    cs = cic.init(3, 1)
+    hs = hbf.hbf_dec_cascade_init(depth)
+    (cs, hs), y = rate_conversion.cic_hbf_decimate(cs, hs, x, cic_rate, depth)
+    # CIC gain (M(rate+1))^N times the HBF decimators' DC gain of 2 per
+    # stage (hbf.rs:547-556: ones -> 2.0).
+    g = cic.gain(cic_rate, 3, 1) * (1 << depth)
+    y = np.asarray(y, np.float64)
+    assert abs(y[-1] / (1000 * g) - 1.0) < 1e-3
+
+
+def test_ddc_bank_acquires_offsets():
+    # 16-channel bank on a frequency grid: each channel's PLL acquires
+    # its own carrier offset despite the 15 other tones in the band.
+    c = 16
+    rng = np.random.default_rng(0)
+    grid = 1 << 26  # 1/64 of the band between channels
+    steps = ((np.arange(c) + 8) * grid).astype(np.int64).astype(np.int32)
+    offsets = rng.integers(-(1 << 16), 1 << 16, size=c, dtype=np.int64).astype(
+        np.int32
+    )
+    n = 1 << 15
+    decim = 16
+    x = ddc_bank.make_tone_bank(steps, n, amplitude=1 << 26, offsets=offsets)
+
+    st = ddc_bank.init(c)
+    lp_gains = jnp.asarray(lowpass.gains2(0.001))
+    pll_ba = jnp.asarray(pll.coefficients_from_bandwidth(2e-2, 4.0))
+    st, (yi, yq, yp, freq) = ddc_bank.ddc_bank_block(
+        st, x, jnp.asarray(steps), lp_gains, pll_ba, decimate=decim
+    )
+    freq = np.asarray(freq).astype(np.int64)
+    # The PLL output frequency compensates the residual offset at the
+    # decimated rate: offset * decimate (mod 2^32), negated.
+    want = -(offsets.astype(np.int64) * decim)
+    err = (freq - want + 2**31) % 2**32 - 2**31
+    # all channels lock; neighbor leakage rattles the loop slightly
+    assert np.median(np.abs(err)) < 1 << 16, err
+    assert np.abs(err).max() < (1 << 31) * 1e-4, err
+
+
+def test_sweptsine_measures_lowpass_response():
+    # Swept-sine + inverse filter recovers a filter's transfer function:
+    # validate against freqz (the BASELINE #5 validation methodology).
+    from idsp_tpu.design import Filter, freqz_ba5
+    from idsp_tpu.filters import biquad
+
+    sw = sweptsine.Sweep.fit(0.45, 300.0, 5.0)
+    n = int(sw.delay(300.0)) + 1
+    re, im = sweptsine.accu_osc(sw, n)
+    x = np.asarray(re, np.float64) / 2**31
+
+    ba = biquad.from_cookbook(Filter().critical_frequency(0.05).lowpass())
+    st = biquad.df1_init((), jnp.float64)
+    _, y = biquad.df1_process(jnp.asarray(ba), st, jnp.asarray(x))
+    y = np.asarray(y)
+
+    nfft = 1 << int(np.ceil(np.log2(n))) + 1
+    yf = np.fft.rfft(y, nfft)
+    f = np.arange(len(yf)) / nfft
+    inv_re, inv_im = sw.inverse_filter(jnp.asarray(f[1:], jnp.float32))
+    h = yf[1:] * (np.asarray(inv_re) + 1j * np.asarray(inv_im))
+
+    want = freqz_ba5(ba, f[1:])
+    band = (f[1:] > 0.01) & (f[1:] < 0.3)
+    err_db = 20 * np.log10(
+        np.abs(h[band]) / np.maximum(np.abs(want[band]), 1e-12)
+    )
+    # magnitude response recovered within 1 dB across the band
+    assert np.median(np.abs(err_db)) < 1.0, np.median(np.abs(err_db))
