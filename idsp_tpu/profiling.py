@@ -1,0 +1,78 @@
+"""Profiling and throughput measurement.
+
+Replaces the reference's DWT-cycle embedded harness
+(tests/embedded/src/lib.rs:17-42) with wall-clock samples/s counters
+(double-run compile-cost cancellation like the reference's
+call-twice-minus-once trick) and `jax.profiler` trace capture.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+
+import jax
+
+
+@dataclass(frozen=True)
+class BenchResult:
+    """Throughput of one benchmark config."""
+
+    name: str
+    samples: int
+    seconds: float
+
+    @property
+    def samples_per_s(self) -> float:
+        return self.samples / self.seconds
+
+    @property
+    def ns_per_sample(self) -> float:
+        return self.seconds / self.samples * 1e9
+
+    def row(self) -> str:
+        return (
+            f"{self.name:36s} {self.samples_per_s / 1e6:12.1f} MS/s"
+            f" {self.ns_per_sample:10.3f} ns/sample"
+        )
+
+
+def bench(name: str, fn, *args, samples: int, iters: int = 5, warmup: int = 1):
+    """Time ``fn(*args)`` (compiled path): warm up, then run ``iters``
+    back-to-back and block once.  ``samples`` is per-call item count."""
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BenchResult(name=name, samples=samples * iters, seconds=dt)
+
+
+def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5):
+    """Like `bench` but threads a state carry so iterations chain (no
+    artificial parallelism between timing iterations)."""
+    out = fn(state, *args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(iters):
+        res = fn(st, *args)
+        st = res[0]
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    return BenchResult(name=name, samples=samples * iters, seconds=dt)
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/idsp_tpu_trace"):
+    """Capture a jax.profiler trace around a block."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
