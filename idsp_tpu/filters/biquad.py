@@ -324,13 +324,19 @@ def df1_dither_clamp_step(ba, f: int, state: Df1DitherState, x0, u, lo, hi):
 
 
 def _affine_combine(a, b):
-    """Compose affine maps s -> M s + v (for the 2x2 recurrence scan):
-    applying a then b gives (M2 M1, M2 v1 + v2)."""
-    m1, v1 = a
-    m2, v2 = b
+    """Compose affine maps s -> M s + v for the 2nd-order feedback
+    recurrence, with the 2x2 matrix and 2-vector held as SIX separate
+    (n, ...) component arrays — trailing (2, 2) axes tile terribly on
+    TPU (64x padding), component planes tile perfectly."""
+    a11, a12, a21, a22, u1, u2 = a
+    b11, b12, b21, b22, w1, w2 = b
     return (
-        jnp.einsum("...ij,...jk->...ik", m2, m1),
-        jnp.einsum("...ij,...j->...i", m2, v1) + v2,
+        b11 * a11 + b12 * a21,
+        b11 * a12 + b12 * a22,
+        b21 * a11 + b22 * a21,
+        b21 * a12 + b22 * a22,
+        b11 * u1 + b12 * u2 + w1,
+        b21 * u1 + b22 * u2 + w2,
     )
 
 
@@ -348,31 +354,27 @@ def df1_block_float(ba, state: Df1State, xs):
     )[:n]
     v = ba[..., 0] * xs + ba[..., 1] * x1 + ba[..., 2] * x2
 
-    a1 = jnp.broadcast_to(ba[..., 3], v.shape[1:])
-    a2 = jnp.broadcast_to(ba[..., 4], v.shape[1:])
-    one = jnp.ones_like(a1)
-    zero = jnp.zeros_like(a1)
-    # M = [[a1, a2], [1, 0]] applied to s = [y1, y2].
-    m = jnp.stack(
-        [
-            jnp.stack([a1, a2], axis=-1),
-            jnp.stack([one, zero], axis=-1),
-        ],
-        axis=-2,
-    )
-    ms = jnp.broadcast_to(m, (n,) + m.shape)
-    vs = jnp.stack([v, jnp.zeros_like(v)], axis=-1)
+    # per-step affine map: M = [[a1, a2], [1, 0]], v = [v, 0]
+    shape = v.shape
+    a1 = jnp.broadcast_to(ba[..., 3], shape)
+    a2 = jnp.broadcast_to(ba[..., 4], shape)
+    one = jnp.ones_like(v)
+    zero = jnp.zeros_like(v)
+    elems = (a1, a2, one, zero, v, zero)
 
-    mm, vv = jax.lax.associative_scan(_affine_combine, (ms, vs), axis=0)
-    s0 = state.y  # [y1, y2]
-    ys_pairs = jnp.einsum("n...ij,...j->n...i", mm, s0) + vv
-    ys = ys_pairs[..., 0]
+    m11, m12, m21, m22, v1, v2 = jax.lax.associative_scan(
+        _affine_combine, elems, axis=0
+    )
+    y1_0 = state.y[..., 0]
+    y2_0 = state.y[..., 1]
+    ys = m11 * y1_0 + m12 * y2_0 + v1  # current outputs y[k]
+    ys_prev = m21 * y1_0 + m22 * y2_0 + v2  # y[k-1]
 
     new_state = Df1State(
         x=jnp.stack(
             [xs[-1], xs[-2] if n >= 2 else state.x[..., 0]], axis=-1
         ),
-        y=ys_pairs[-1],
+        y=jnp.stack([ys[-1], ys_prev[-1]], axis=-1),
     )
     return new_state, ys
 

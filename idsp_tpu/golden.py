@@ -1,0 +1,115 @@
+"""ctypes loader for the native C golden model (native/golden.c).
+
+An independent scalar implementation of the fixed-point kernels used to
+cross-validate the JAX/Pallas implementations bit-for-bit — the
+cross-implementation equivalence pattern of the reference test suite
+(SURVEY.md §4.4), without depending on the Rust toolchain.
+
+Builds on first use with cc into ``native/libgolden.so``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+
+
+@lru_cache(maxsize=None)
+def _lib() -> ctypes.CDLL:
+    src = os.path.join(_NATIVE_DIR, "golden.c")
+    so = os.path.join(_NATIVE_DIR, "libgolden.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", "-o", so, src, "-lm"],
+            check=True,
+        )
+    lib = ctypes.CDLL(so)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.golden_cossin.argtypes = [i32p, i32p, i32p, ctypes.c_int64]
+    lib.golden_atan2.argtypes = [i32p, i32p, i32p, ctypes.c_int64]
+    lib.golden_biquad_df1_q.argtypes = [
+        i32p, ctypes.c_int, i32p, i32p, i32p, ctypes.c_int64,
+    ]
+    lib.golden_biquad_df1_wide.argtypes = [
+        i32p, ctypes.c_int, i32p, i64p, i32p, i32p, ctypes.c_int64,
+    ]
+    lib.golden_biquad_df1_dither.argtypes = [
+        i32p, ctypes.c_int, i32p, u32p, i32p, i32p, ctypes.c_int64,
+    ]
+    lib.golden_q_mul.argtypes = [i32p, i32p, ctypes.c_int, i32p, ctypes.c_int64]
+    return lib
+
+
+def _as_i32(x):
+    return np.ascontiguousarray(x, dtype=np.int32)
+
+
+def _ptr(a, typ=ctypes.c_int32):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def cossin(phase):
+    phase = _as_i32(phase)
+    c = np.empty_like(phase)
+    s = np.empty_like(phase)
+    _lib().golden_cossin(_ptr(phase), _ptr(c), _ptr(s), phase.size)
+    return c, s
+
+
+def atan2(y, x):
+    y = _as_i32(y)
+    x = _as_i32(x)
+    out = np.empty_like(y)
+    _lib().golden_atan2(_ptr(y), _ptr(x), _ptr(out), y.size)
+    return out
+
+
+def biquad_df1_q(ba, f, state, x):
+    """state: int32[4] = [x1, x2, y1, y2], mutated in place."""
+    ba = _as_i32(ba)
+    state = _as_i32(state)
+    x = _as_i32(x)
+    y = np.empty_like(x)
+    _lib().golden_biquad_df1_q(_ptr(ba), f, _ptr(state), _ptr(x), _ptr(y), x.size)
+    return state, y
+
+
+def biquad_df1_wide(ba, f, x_state, y_state, x):
+    ba = _as_i32(ba)
+    xs = _as_i32(x_state)
+    ys = np.ascontiguousarray(y_state, dtype=np.int64)
+    x = _as_i32(x)
+    y = np.empty_like(x)
+    _lib().golden_biquad_df1_wide(
+        _ptr(ba), f, _ptr(xs), _ptr(ys, ctypes.c_int64), _ptr(x), _ptr(y), x.size
+    )
+    return xs, ys, y
+
+
+def biquad_df1_dither(ba, f, state, e, x):
+    ba = _as_i32(ba)
+    state = _as_i32(state)
+    e_arr = np.ascontiguousarray([e], dtype=np.uint32)
+    x = _as_i32(x)
+    y = np.empty_like(x)
+    _lib().golden_biquad_df1_dither(
+        _ptr(ba), f, _ptr(state), _ptr(e_arr, ctypes.c_uint32), _ptr(x),
+        _ptr(y), x.size,
+    )
+    return state, np.uint32(e_arr[0]), y
+
+
+def q_mul(a, b, f):
+    a = _as_i32(a)
+    b = _as_i32(np.broadcast_to(b, a.shape))
+    out = np.empty_like(a)
+    _lib().golden_q_mul(_ptr(a), _ptr(b), f, _ptr(out), a.size)
+    return out

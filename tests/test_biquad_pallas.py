@@ -1,0 +1,65 @@
+"""Pallas biquad bank kernel: bit-exactness vs the scan reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from idsp_tpu.design import Filter
+from idsp_tpu.filters import biquad
+from idsp_tpu.filters.biquad_pallas import df1_bank_q
+
+
+def test_pallas_df1_bank_bitexact():
+    c, t = 128, 512
+    rng = np.random.default_rng(0)
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.1).lowpass()), 29
+        )
+    )
+    xs = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(t, c), dtype=np.int64).astype(np.int32)
+    )
+    st = biquad.Df1State(
+        x=jnp.asarray(
+            rng.integers(-(2**31), 2**31, size=(c, 2), dtype=np.int64).astype(
+                np.int32
+            )
+        ),
+        y=jnp.asarray(
+            rng.integers(-(2**31), 2**31, size=(c, 2), dtype=np.int64).astype(
+                np.int32
+            )
+        ),
+    )
+
+    st_ref, ys_ref = biquad.df1_process_q(ba_q, 29, st, xs)
+    st_pl, ys_pl = df1_bank_q(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.x), np.asarray(st_ref.x))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+
+def test_pallas_df1_bank_gain_extremes():
+    # saturated coefficients and extreme inputs still match bit-for-bit
+    c, t = 128, 256
+    ba_q = jnp.asarray(
+        np.array(
+            [2**31 - 1, -(2**31), 0x1234_5678, -0x0765_4321, 1], np.int64
+        ).astype(np.int32)
+    )
+    xs = jnp.asarray(
+        np.tile(
+            np.array(
+                [2**31 - 1, -(2**31), 0, 1, -1, 0x7FFF, -0x8000], np.int64
+            ).astype(np.int32),
+            (t // 7 + 1,),
+        )[: t, None].repeat(c, axis=1)
+    )
+    st = biquad.df1_init((c,), jnp.int32)
+    _, ys_ref = biquad.df1_process_q(ba_q, 30, st, xs)
+    _, ys_pl = df1_bank_q(ba_q, st, xs, 30, time_chunk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
