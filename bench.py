@@ -30,6 +30,7 @@ def main():
     from idsp_tpu import fxp
     from idsp_tpu.design import Filter
     from idsp_tpu.filters import biquad, hbf
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q
     from idsp_tpu.ops.trig import cossin
 
     c = 256  # channels
@@ -48,35 +49,49 @@ def main():
         )
     )
 
-    def chain(state, x):
-        bq_i, bq_q, dec_i, dec_q, phase0 = state
-        idx = (jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF).astype(jnp.int32)
-        phases = phase0[None, :] + steps[None, :] * idx[:, None]
-        lo_re, lo_im = cossin(phases)
-        xi = x[:, None]
-        mi = fxp.q_apply(lo_re, xi, 32)
-        mq = fxp.q_apply(-lo_im, xi, 32)
-        bq_i, yi = biquad.df1_process_q(ba_q, 29, bq_i, mi, unroll=8)
-        bq_q, yq = biquad.df1_process_q(ba_q, 29, bq_q, mq, unroll=8)
-        fi = yi.astype(jnp.float32).T  # (c, t) for the conv path
-        fq = yq.astype(jnp.float32).T
-        dec_i, zi = hbf.hbf_dec_cascade(dec_i, fi)
-        dec_q, zq = hbf.hbf_dec_cascade(dec_q, fq)
-        new_state = (bq_i, bq_q, dec_i, dec_q, phase0 + steps * jnp.int32(t))
-        return new_state, (zi, zq)
+    def make_chain(use_pallas: bool):
+        def chain(state, x):
+            bq_iq, dec_i, dec_q, phase0 = state
+            idx = (jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF).astype(
+                jnp.int32
+            )
+            phases = phase0[None, :] + steps[None, :] * idx[:, None]
+            lo_re, lo_im = cossin(phases)
+            xi = x[:, None]
+            mi = fxp.q_apply(lo_re, xi, 32)
+            mq = fxp.q_apply(-lo_im, xi, 32)
+            miq = jnp.concatenate([mi, mq], axis=1)  # (t, 2c) I|Q lanes
+            if use_pallas:
+                bq_iq, yiq = df1_bank_q(ba_q, bq_iq, miq, 29, time_chunk=2048)
+            else:
+                bq_iq, yiq = biquad.df1_process_q(
+                    ba_q, 29, bq_iq, miq, unroll=8
+                )
+            fi = yiq[:, :c].astype(jnp.float32).T  # (c, t) for the conv path
+            fq = yiq[:, c:].astype(jnp.float32).T
+            dec_i, zi = hbf.hbf_dec_cascade(dec_i, fi)
+            dec_q, zq = hbf.hbf_dec_cascade(dec_q, fq)
+            new_state = (bq_iq, dec_i, dec_q, phase0 + steps * jnp.int32(t))
+            return new_state, (zi, zq)
 
-    run = jax.jit(chain)
+        return jax.jit(chain)
+
     state = (
-        biquad.df1_init((c,), jnp.int32),
-        biquad.df1_init((c,), jnp.int32),
+        biquad.df1_init((2 * c,), jnp.int32),
         hbf.hbf_dec_cascade_init(3, (c,)),
         hbf.hbf_dec_cascade_init(3, (c,)),
         jnp.zeros((c,), jnp.int32),
     )
 
-    # compile + warm
-    s, (zi, zq) = run(state, x)
-    _ = float(jnp.sum(zi))
+    # compile + warm; prefer the Pallas biquad bank, fall back to scan
+    try:
+        run = make_chain(True)
+        s, (zi, zq) = run(state, x)
+        _ = float(jnp.sum(zi))
+    except Exception:
+        run = make_chain(False)
+        s, (zi, zq) = run(state, x)
+        _ = float(jnp.sum(zi))
 
     # fixed round-trip cost
     triv = jax.jit(lambda v: v + 1)

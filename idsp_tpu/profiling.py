@@ -13,6 +13,19 @@ import time
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
+
+
+def sync(tree) -> float:
+    """Force completion of all computation feeding ``tree``.
+
+    `jax.block_until_ready` does not actually fence on some remote
+    backends (the axon TPU tunnel); a scalar readback does.  Returns
+    the readback value so callers can also use it as a checksum.
+    """
+    jax.block_until_ready(tree)
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
 @dataclass(frozen=True)
@@ -44,11 +57,11 @@ def bench(name: str, fn, *args, samples: int, iters: int = 5, warmup: int = 1):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     return BenchResult(name=name, samples=samples * iters, seconds=dt)
 
@@ -57,13 +70,13 @@ def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5):
     """Like `bench` but threads a state carry so iterations chain (no
     artificial parallelism between timing iterations)."""
     out = fn(state, *args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     st = state
     for _ in range(iters):
         res = fn(st, *args)
         st = res[0]
-    jax.block_until_ready(res)
+    sync(res)
     dt = time.perf_counter() - t0
     return BenchResult(name=name, samples=samples * iters, seconds=dt)
 
