@@ -52,3 +52,27 @@ def lockin_lowpass_block(k, states, xs, phases, *, unroll: int = 8):
 def lockin_init_lowpass(n: int = 1, shape=()):
     """Two states of one shared lowpass config (I and Q lanes)."""
     return (lp.init(n, shape), lp.init(n, shape))
+
+
+def lockin_block(filter_block, states, xs, phases):
+    """Generic lock-in: any filter stage with signature
+    ``filter_block(state, xs) -> (state, ys)`` shared across the I and
+    Q lanes (the reference's `Lockin<C>` over any `SplitProcess`,
+    lockin.rs:17-27)."""
+    i_in, q_in = mix_phase(xs, phases)
+    si, sq = states
+    si2, yi = filter_block(si, i_in)
+    sq2, yq = filter_block(sq, q_in)
+    return (si2, sq2), (yi, yq)
+
+
+def lockin_biquad_q_block(ba, f, states, xs, phases, *, unroll: int = 8):
+    """Lock-in with a shared fixed-point biquad as the post-mix filter."""
+    from . import biquad as bq
+
+    return lockin_block(
+        lambda s, x: bq.df1_process_q(ba, f, s, x, unroll=unroll),
+        states,
+        xs,
+        phases,
+    )
