@@ -80,6 +80,14 @@ def settle_interpolate(rate: int, n: int, m: int, x, shape=(), dtype=jnp.int32):
     return CicState(combs=combs, integrators=integ, zoh=st.zoh)
 
 
+def settle_decimate(rate: int, n: int, m: int, x, shape=(), dtype=jnp.int32):
+    """Settled decimator state (cic.rs:135-142).
+
+    Not implemented in the reference either (`unimplemented!()`); kept
+    for API parity."""
+    raise NotImplementedError("settle_decimate is unimplemented (as in the reference)")
+
+
 def _comb_chain(combs, x):
     """Run the comb cascade on a slow-rate block. combs: (..., N, M)
     carried delay lines; x: (..., t). Returns (new_combs, y)."""

@@ -10,6 +10,7 @@ operands, i64 intermediates, one truncating shift at the end.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .. import fxp
@@ -57,3 +58,36 @@ def arg_i32(re, im):
     """Angle of (re, im), i32 circle convention 1<<31 == pi
     (complex.rs:254-256)."""
     return atan2(im, re)
+
+
+# --- float helpers (complex.rs:173-202) -------------------------------------
+
+
+def from_angle(angle):
+    """Unit complex from a float angle in radians."""
+    return jnp.cos(angle), jnp.sin(angle)
+
+
+def arg(re, im):
+    """Float angle of (re, im)."""
+    return jnp.arctan2(im, re)
+
+
+def norm_sqr(re, im):
+    return re * re + im * im
+
+
+def div(a_re, a_im, b_re, b_im):
+    """Complex division via conjugate multiply (complex.rs:193-198)."""
+    n = norm_sqr(b_re, b_im)
+    rr, ri = mul(a_re, a_im, b_re, -b_im)
+    return rr / n, ri / n
+
+
+def ilog2_i32(re, im):
+    """Integer log2 of |z|^2 (complex.rs:219-224)."""
+    ns = norm_sqr_i32(re, im)
+    # floor(log2(ns)): position of the highest set bit of an i64 >= 1
+    return (63 - jax.lax.clz(ns.astype(jnp.uint64)).astype(jnp.int32)).astype(
+        jnp.int32
+    )
