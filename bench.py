@@ -62,7 +62,7 @@ def main():
             mq = fxp.q_apply(-lo_im, xi, 32)
             miq = jnp.concatenate([mi, mq], axis=1)  # (t, 2c) I|Q lanes
             if use_pallas:
-                bq_iq, yiq = df1_bank_q(ba_q, bq_iq, miq, 29, time_chunk=2048)
+                bq_iq, yiq = df1_bank_q(ba_q, bq_iq, miq, 29, time_chunk=512)
             else:
                 bq_iq, yiq = biquad.df1_process_q(
                     ba_q, 29, bq_iq, miq, unroll=8

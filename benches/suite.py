@@ -80,6 +80,22 @@ def main():
         )
     )
 
+    # Pallas bank kernel (TPU only; falls back silently elsewhere)
+    try:
+        from idsp_tpu.filters.biquad_pallas import df1_bank_q
+
+        if c % 128 == 0:
+            run_pl = lambda st, xs: df1_bank_q(
+                ba_q29, st, xs, 29, time_chunk=min(2048, t)
+            )
+            r = bench_stateful(
+                "idsp q32 df1 (pallas bank)", run_pl,
+                biquad.df1_init((c,), jnp.int32), xs_i, samples=n, iters=iters,
+            )
+            results.append(r)
+    except Exception as e:  # noqa: BLE001
+        print(f"# pallas bank skipped: {str(e)[:80]}")
+
     run_wide = mk_q(biquad.df1_wide_step, None, ba_q29, 29)
     results.append(
         bench_stateful(

@@ -137,6 +137,9 @@ def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
       state: Df1State with x/y of shape (c, 2), c % 128 == 0.
       xs: (t, c) i32, t % time_chunk == 0.
       f: fractional bits.
+      time_chunk: VMEM time-block size; keep time_chunk * c * 4 bytes
+        around <= 2 MB (in + out blocks are double-buffered in ~16 MB
+        of VMEM; (2048, 1024) i32 blocks fail to fit).
 
     Returns: (state, ys) bit-identical to `df1_process_q` scanned.
     """
@@ -167,16 +170,16 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((4, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (time_chunk, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (time_chunk, c), lambda i: (i, i * 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (time_chunk, c), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (time_chunk, c), lambda i: (i, i * 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((4, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, c), jnp.int32),
