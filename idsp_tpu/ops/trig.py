@@ -33,7 +33,32 @@ def _i32(x):
     return x.astype(jnp.int32)
 
 
-def cossin(phase):
+def _cossin_lut_planes():
+    """The packed LUT split into exact-in-f32 u16 planes (cos-excess,
+    sin), used by the one-hot-matmul lookup."""
+    t = luts.cossin_table().astype(np.int64)
+    return np.stack([t & 0xFFFF, t >> 16], axis=1).astype(np.float32)
+
+
+def _lut_lookup_dot(idx):
+    """128-entry LUT lookup as a one-hot matmul on the MXU.
+
+    XLA's TPU gather lowering for per-element lookups can be very slow;
+    a (N, 128) one-hot against the (128, 2) u16-plane table is exact
+    (single non-zero term, values <= 65535 < 2^24) and rides the MXU.
+    Returns (cos_plane, sin_plane) as i32.
+    """
+    oh = jax.nn.one_hot(idx, 1 << luts.COSSIN_DEPTH, dtype=jnp.float32)
+    planes = jnp.einsum(
+        "...k,kp->...p",
+        oh,
+        jnp.asarray(_cossin_lut_planes()),
+        preferred_element_type=jnp.float32,
+    )
+    return planes[..., 0].astype(jnp.int32), planes[..., 1].astype(jnp.int32)
+
+
+def cossin(phase, *, lookup: str = "gather"):
     """Compute (cos, sin) of a 32-bit phase, i32 amplitude ~(1<<31 - 1<<15).
 
     Vectorized port of the MiSoC-derived octant-folded midpoint-LUT DDS
@@ -42,6 +67,8 @@ def cossin(phase):
 
     Args:
       phase: int32 array (any shape), wrapping phase.
+      lookup: "gather" (XLA gather) or "dot" (one-hot MXU matmul) —
+        bit-identical results, different TPU cost profiles.
 
     Returns:
       (cos, sin) int32 arrays of the same shape.
@@ -58,16 +85,21 @@ def cossin(phase):
     p_u = (_u32(phase) << 3) >> (32 - depth - _ALIGN_MSB)
     p = _i32(p_u)
 
-    lookup = lut[(p >> _ALIGN_MSB)]
+    idx = p >> _ALIGN_MSB
     p = p & ((1 << _ALIGN_MSB) - 1)
     # LUT entries are midpoint samples: interpolate about the midpoint.
     p = p - (1 << (_ALIGN_MSB - 1))
 
     dphi = (p * _PI4) >> 16
 
-    # Unpack the excess-encoded cos (extra bit: 1/2 < cos <= 1) and sin.
-    cos = _i32(lookup & 0xFFFF) + (1 << 16)
-    sin = _i32(lookup >> 16)
+    if lookup == "dot":
+        cos_plane, sin = _lut_lookup_dot(idx)
+        cos = cos_plane + (1 << 16)
+    else:
+        packed = lut[idx]
+        # Unpack the excess-encoded cos (extra bit: 1/2 < cos <= 1) and sin.
+        cos = _i32(packed & 0xFFFF) + (1 << 16)
+        sin = _i32(packed >> 16)
 
     dcos = (sin * dphi) >> depth
     dsin = (cos * dphi) >> (depth + 1)
