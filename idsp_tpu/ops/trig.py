@@ -58,6 +58,25 @@ def _lut_lookup_dot(idx):
     return planes[..., 0].astype(jnp.int32), planes[..., 1].astype(jnp.int32)
 
 
+def _lut_lookup_select(idx):
+    """128-entry LUT lookup as an unrolled compare/select chain.
+
+    One fused elementwise pass (no materialized one-hot, no gather):
+    128 compares + selects per element on the VPU.  Scalar table
+    entries fold into the instruction stream as constants.
+    """
+    t = luts.cossin_table().astype(np.int64)
+    cos_vals = (t & 0xFFFF).astype(np.int32)
+    sin_vals = (t >> 16).astype(np.int32)
+    acc_c = jnp.zeros_like(idx)
+    acc_s = jnp.zeros_like(idx)
+    for j in range(t.shape[0]):
+        m = idx == j
+        acc_c = jnp.where(m, jnp.int32(cos_vals[j]), acc_c)
+        acc_s = jnp.where(m, jnp.int32(sin_vals[j]), acc_s)
+    return acc_c, acc_s
+
+
 def cossin(phase, *, lookup: str = "gather"):
     """Compute (cos, sin) of a 32-bit phase, i32 amplitude ~(1<<31 - 1<<15).
 
@@ -94,6 +113,9 @@ def cossin(phase, *, lookup: str = "gather"):
 
     if lookup == "dot":
         cos_plane, sin = _lut_lookup_dot(idx)
+        cos = cos_plane + (1 << 16)
+    elif lookup == "select":
+        cos_plane, sin = _lut_lookup_select(idx)
         cos = cos_plane + (1 << 16)
     else:
         packed = lut[idx]
