@@ -62,22 +62,19 @@ def _lut_lookup_select(idx):
     """128-entry LUT lookup as an unrolled compare/select chain.
 
     One fused elementwise pass (no materialized one-hot, no gather):
-    128 compares + selects per element on the VPU.  Scalar table
-    entries fold into the instruction stream as constants.
+    128 compares + 127 selects per element on the VPU, selecting the
+    PACKED u32 entry (both planes at once).  Scalar table entries fold
+    into the instruction stream as constants.
     """
-    t = luts.cossin_table().astype(np.int64)
-    cos_vals = (t & 0xFFFF).astype(np.int32)
-    sin_vals = (t >> 16).astype(np.int32)
-    acc_c = jnp.zeros_like(idx)
-    acc_s = jnp.zeros_like(idx)
-    for j in range(t.shape[0]):
-        m = idx == j
-        acc_c = jnp.where(m, jnp.int32(cos_vals[j]), acc_c)
-        acc_s = jnp.where(m, jnp.int32(sin_vals[j]), acc_s)
-    return acc_c, acc_s
+    packed_i32 = luts.cossin_table().view(np.int32)  # bit reinterpret
+    acc = jnp.zeros_like(idx)
+    for j in range(packed_i32.shape[0]):
+        acc = jnp.where(idx == j, jnp.int32(packed_i32[j]), acc)
+    u = acc.astype(jnp.uint32)
+    return (u & 0xFFFF).astype(jnp.int32), (u >> 16).astype(jnp.int32)
 
 
-def cossin(phase, *, lookup: str = "gather"):
+def cossin(phase, *, lookup: str | None = None):
     """Compute (cos, sin) of a 32-bit phase, i32 amplitude ~(1<<31 - 1<<15).
 
     Vectorized port of the MiSoC-derived octant-folded midpoint-LUT DDS
@@ -86,12 +83,18 @@ def cossin(phase, *, lookup: str = "gather"):
 
     Args:
       phase: int32 array (any shape), wrapping phase.
-      lookup: "gather" (XLA gather) or "dot" (one-hot MXU matmul) —
-        bit-identical results, different TPU cost profiles.
+      lookup: LUT access strategy — all bit-identical:
+        "gather" (XLA gather; fastest on CPU),
+        "select" (unrolled compare/select; ~500x faster than gather on
+        TPU, where XLA's elementwise gather lowering is very slow),
+        "dot" (one-hot MXU matmul).  Default: "select" on TPU, else
+        "gather".
 
     Returns:
       (cos, sin) int32 arrays of the same shape.
     """
+    if lookup is None:
+        lookup = ("select" if jax.default_backend() in ("tpu", "axon") else "gather")
     phase = jnp.asarray(phase, dtype=jnp.int32)
     lut = jnp.asarray(luts.cossin_table())  # uint32[128]
     depth = luts.COSSIN_DEPTH
@@ -165,13 +168,11 @@ def _mul_q31(x, y):
     return (wide >> 31).astype(jnp.uint32)
 
 
-def _divi(y, x):
+def _divi(y, x, *, lookup: str = "gather"):
     """y/x in Q31 for 0 <= y <= x: normalize x to [1, 2) in Q1.31, seed a
     reciprocal from the 16-entry base+slope LUT, refine with one Newton
     step (src/atan2.rs:12-29)."""
     base_t, slope_t = luts.atan2_divi_table()
-    base_lut = jnp.asarray(base_t)
-    slope_lut = jnp.asarray(slope_t)
 
     x_safe = jnp.where(x == 0, jnp.uint32(1), x)
     shift = jax.lax.clz(x_safe)
@@ -181,8 +182,17 @@ def _divi(y, x):
     frac_bits = 31 - luts.ATAN2_DIVI_DEPTH  # 27
     rem = xn & jnp.uint32((1 << frac_bits) - 1)
     idx = (xn << 1) >> (1 + frac_bits)
-    base = base_lut[idx]
-    slope = slope_lut[idx]
+    if lookup == "select":
+        # 16-way unrolled compare/select (XLA TPU gathers are slow)
+        base = jnp.zeros_like(idx)
+        slope = jnp.zeros_like(idx.astype(jnp.int32))
+        for j in range(base_t.shape[0]):
+            m = idx == j
+            base = jnp.where(m, jnp.uint32(base_t[j]), base)
+            slope = jnp.where(m, jnp.int32(slope_t[j]), slope)
+    else:
+        base = jnp.asarray(base_t)[idx]
+        slope = jnp.asarray(slope_t)[idx]
     step = ((slope.astype(jnp.int64) * rem.astype(jnp.int64)) >> frac_bits).astype(
         jnp.uint32
     )
@@ -205,7 +215,7 @@ def _atani(x):
     return ((r.astype(jnp.int64) * x.astype(jnp.int64)) >> 28).astype(jnp.uint32)
 
 
-def atan2(y, x):
+def atan2(y, x, *, lookup: str | None = None):
     """Full-circle fixed-point atan2 (src/atan2.rs:66-82).
 
     Octant reduction with saturating negation and an XOR unmap key, then
@@ -220,6 +230,10 @@ def atan2(y, x):
     Returns:
       int32 array of angles.
     """
+    if lookup is None:
+        lookup = (
+            "select" if jax.default_backend() in ("tpu", "axon") else "gather"
+        )
     y = jnp.asarray(y, dtype=jnp.int32)
     x = jnp.asarray(x, dtype=jnp.int32)
     imin = jnp.int32(-2147483648)
@@ -240,5 +254,5 @@ def atan2(y, x):
     y, x = jnp.where(swap, x, y), jnp.where(swap, y, x)
     k = jnp.where(swap, k ^ jnp.uint32(0x3FFFFFFF), k)
 
-    r = _atani(_divi(_u32(y), _u32(x)))
+    r = _atani(_divi(_u32(y), _u32(x), lookup=lookup))
     return _i32(r ^ k)
