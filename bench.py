@@ -33,7 +33,7 @@ def main():
     from idsp_tpu.filters.biquad_pallas import df1_bank_q
     from idsp_tpu.ops.trig import cossin
 
-    c = 256  # channels
+    c = 512  # channels
     t = 32768  # full-rate samples per block per channel
     rng = np.random.default_rng(0)
 

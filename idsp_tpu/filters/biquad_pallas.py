@@ -158,7 +158,15 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
                      time_chunk: int, interpret: bool):
     t, c = xs.shape
     assert c % 128 == 0, "channel count must be a multiple of 128"
-    assert t % time_chunk == 0
+    # Auto-clamp the time chunk to the VMEM budget: the in and out
+    # blocks are double-buffered (4 * tc * c * 4 bytes must stay well
+    # under the ~16 MB scoped VMEM limit).
+    vmem_cap = max(8, (12 * 2**20) // (16 * c))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk:
+        time_chunk //= 2
+    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
     st_in = jnp.stack(
         [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
         axis=0,
