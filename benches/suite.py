@@ -33,7 +33,14 @@ def main():
     from idsp_tpu.filters import biquad, cic, hbf, lowpass, pll, wdf
     from idsp_tpu.ops import accu
     from idsp_tpu.ops.trig import atan2, cossin
-    from idsp_tpu.profiling import bench, bench_stateful
+    from idsp_tpu.profiling import bench as _bench
+    from idsp_tpu.profiling import bench_stateful as _bench_stateful
+    from idsp_tpu.profiling import measure_roundtrip
+    import functools
+
+    rt = measure_roundtrip()
+    bench = functools.partial(_bench, overhead=rt)
+    bench_stateful = functools.partial(_bench_stateful, overhead=rt)
 
     c, t, iters = args.channels, args.time, args.iters
     n = c * t
@@ -263,7 +270,7 @@ def main():
         )
     )
 
-    print(f"# device: {jax.devices()[0]}  channels={c} block={t}")
+    print(f"# device: {jax.devices()[0]}  channels={c} block={t} roundtrip={rt*1e3:.1f}ms (subtracted)")
     for r in results:
         print(r.row())
     return results

@@ -51,9 +51,26 @@ class BenchResult:
         )
 
 
-def bench(name: str, fn, *args, samples: int, iters: int = 5, warmup: int = 1):
+def measure_roundtrip(iters: int = 3) -> float:
+    """The fixed dispatch + scalar-readback round trip (~30 ms through
+    the axon tunnel, ~0 locally) to subtract from chained timings."""
+    triv = jax.jit(lambda v: v + 1)
+    z = jnp.zeros((8,), jnp.int32)
+    sync(triv(z))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(triv(z))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench(name: str, fn, *args, samples: int, iters: int = 5, warmup: int = 1,
+          overhead: float = 0.0):
     """Time ``fn(*args)`` (compiled path): warm up, then run ``iters``
-    back-to-back and block once.  ``samples`` is per-call item count."""
+    back-to-back and block once.  ``samples`` is per-call item count.
+    ``overhead`` (seconds) is subtracted from the total (the fixed
+    dispatch round trip, see `measure_roundtrip`)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
@@ -62,11 +79,12 @@ def bench(name: str, fn, *args, samples: int, iters: int = 5, warmup: int = 1):
     for _ in range(iters):
         out = fn(*args)
     sync(out)
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9)
     return BenchResult(name=name, samples=samples * iters, seconds=dt)
 
 
-def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5):
+def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5,
+                   overhead: float = 0.0):
     """Like `bench` but threads a state carry so iterations chain (no
     artificial parallelism between timing iterations)."""
     out = fn(state, *args)
@@ -77,7 +95,7 @@ def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5):
         res = fn(st, *args)
         st = res[0]
     sync(res)
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9)
     return BenchResult(name=name, samples=samples * iters, seconds=dt)
 
 
