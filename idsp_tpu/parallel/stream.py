@@ -196,6 +196,66 @@ def sharded_df1_float(ba, state: biquad.Df1State, xs, axis_name: str):
     return biquad.Df1State(x=x_out, y=s_out), ys
 
 
+def sharded_df1_q_relay(ba, state, xs, f: int, axis_name: str, *,
+                        unroll: int = 8):
+    """Bit-exact time-sharded fixed-point DF1 via a sequential carry
+    relay.
+
+    The truncating fixed-point recurrence has no associative form
+    (SURVEY.md §7 hard part 3), so device k can only start after
+    receiving device k-1's carry: a fori loop over devices where each
+    step every device runs its block scan speculatively from the carry
+    it currently holds, and the TRUE carry ripples right one hop per
+    iteration via `ppermute`.  Latency is serial in device count —
+    time-sharding integer IIR buys memory capacity, not speed (use
+    channel or pipeline parallelism for throughput) — but the bits are
+    identical to the sequential scan.
+
+    Runs inside shard_map; xs is this device's (n_local, ...) block.
+    """
+    from ..filters import biquad
+
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    ba = jnp.asarray(ba, jnp.int32)
+    # the carry is device-varying from round one; mark the (replicated)
+    # entry state for the VMA checker
+    state = jax.lax.pcast(state, (axis_name,), to="varying")
+
+    def device_round(k, carry_state):
+        # every device scans its block from its current carry guess;
+        # only the device at relay position k holds the true carry.
+        out_state, ys = biquad.df1_process_q(
+            ba, f, carry_state, xs, unroll=unroll
+        )
+        # the true carry moves one device right
+        nxt = jax.tree.map(
+            lambda a: jax.lax.ppermute(
+                a, axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+            ),
+            out_state,
+        )
+        # devices left of the relay keep their (already final) state;
+        # the device at k+1 adopts the relayed carry
+        return jax.tree.map(
+            lambda new, old: jnp.where(idx == k + 1, new, old),
+            nxt,
+            carry_state,
+        )
+
+    final_in_state = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_dev - 1), device_round, state
+    )
+    # one last local scan from the now-correct incoming carry
+    out_state, ys = biquad.df1_process_q(
+        ba, f, final_in_state, xs, unroll=unroll
+    )
+    global_out = jax.tree.map(
+        lambda a: replicate_from(a, axis_name, n_dev - 1), out_state
+    )
+    return global_out, ys
+
+
 def channel_sharding(mesh, axis: str = "dp"):
     """NamedSharding spec for (channel, time) arrays sharded on channels."""
     from jax.sharding import NamedSharding
