@@ -88,6 +88,9 @@ def _df1_q_kernel(
     def _():
         state_ref[...] = st_in_ref[...]
 
+    # Channels are laid out 2D as (c // 128 sublanes, 128 lanes): a
+    # (1, c) row would occupy one sublane of each vreg (1/8 VPU
+    # utilization); (cs, 128) rows pack vregs fully.
     b0 = jnp.int32(ba[0])
     b1 = jnp.int32(ba[1])
     b2 = jnp.int32(ba[2])
@@ -105,7 +108,7 @@ def _df1_q_kernel(
         x2 = carry[1]
         y1 = carry[2]
         y2 = carry[3]
-        x0 = x_ref[i, :]
+        x0 = x_ref[i]
         acc = _mul_i32_i32_to_i64(jnp.full_like(x0, b0), x0)
         acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b1), x1))
         acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b2), x2))
@@ -158,6 +161,7 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
                      time_chunk: int, interpret: bool):
     t, c = xs.shape
     assert c % 128 == 0, "channel count must be a multiple of 128"
+    cs = c // 128
     # Auto-clamp the time chunk to the VMEM budget: the in and out
     # blocks are double-buffered (4 * tc * c * 4 bytes must stay well
     # under the ~16 MB scoped VMEM limit).
@@ -170,7 +174,8 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
     st_in = jnp.stack(
         [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
         axis=0,
-    )  # (4, c)
+    ).reshape(4, cs, 128)
+    xs3 = xs.reshape(t, cs, 128)
 
     grid = (t // time_chunk,)
     kernel = functools.partial(_df1_q_kernel, ba=ba_static, f=f)
@@ -178,27 +183,40 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((4, c), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (time_chunk, c), lambda i: (i, i * 0), memory_space=pltpu.VMEM
+                (4, cs, 128),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (time_chunk, cs, 128),
+                lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (time_chunk, c), lambda i: (i, i * 0), memory_space=pltpu.VMEM
+                (time_chunk, cs, 128),
+                lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((4, c), lambda i: (i * 0, i * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, cs, 128),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, c), jnp.int32),
-            jax.ShapeDtypeStruct((4, c), jnp.int32),
+            jax.ShapeDtypeStruct((t, cs, 128), jnp.int32),
+            jax.ShapeDtypeStruct((4, cs, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((4, c), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((4, cs, 128), jnp.int32)],
         interpret=interpret,
-    )(st_in, xs)
+    )(st_in, xs3)
 
+    st_out = st_out.reshape(4, c)
     new_state = Df1State(
         x=jnp.stack([st_out[0], st_out[1]], axis=-1),
         y=jnp.stack([st_out[2], st_out[3]], axis=-1),
     )
-    return new_state, ys
+    return new_state, ys.reshape(t, c)
