@@ -41,3 +41,13 @@ def test_channelizer_wideband_64():
         assert int(np.argmax(p)) == ch
         others = np.delete(p, ch)
         assert p[ch] > 10.0 * others.max()
+
+
+def test_channelizer_wideband_1024():
+    # The BASELINE #5 headline channel count: a tone at a channel
+    # center lands in its channel with overwhelming isolation.
+    m = 1024
+    p = channelizer.channel_powers(100 / m, m=m, taps=8, n=m * 160)
+    assert int(np.argmax(p)) == 100
+    others = np.delete(p, 100)
+    assert p[100] > 1e4 * others.max()
