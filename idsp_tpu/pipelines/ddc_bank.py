@@ -50,6 +50,72 @@ def init(n_channels: int, lp_order: int = 2) -> DdcBankState:
     )
 
 
+class DdcBankBiquadState(NamedTuple):
+    """Variant state with a Q32 biquad (Pallas bank kernel) as the
+    channel filter instead of the integer Lowpass."""
+
+    nco_phase: jax.Array
+    bq: object  # biquad.Df1State over (2c,) I|Q lanes
+    pll: object
+
+
+def init_biquad(n_channels: int) -> DdcBankBiquadState:
+    from ..filters import biquad as bq
+
+    return DdcBankBiquadState(
+        nco_phase=jnp.zeros((n_channels,), jnp.int32),
+        bq=bq.df1_init((2 * n_channels,), jnp.int32),
+        pll=pll.init((n_channels,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("decimate", "f", "ba_q", "interpret"))
+def ddc_bank_block_biquad(
+    state: DdcBankBiquadState,
+    x,
+    nco_steps,
+    ba_q,
+    pll_ba,
+    *,
+    decimate: int = 16,
+    f: int = 29,
+    interpret: bool = False,
+):
+    """DDC bank with the Pallas Q32 biquad as the channel filter.
+
+    Same structure as `ddc_bank_block` but the I/Q lowpass is the
+    20+ GS/s `df1_bank_q` kernel (c must be a multiple of 64 so the
+    stacked I|Q bank is a multiple of 128).  ``ba_q`` is a STATIC tuple
+    of 5 ints (the kernel bakes coefficients as constants).
+    """
+    from ..filters.biquad_pallas import df1_bank_q
+
+    t = x.shape[0]
+    c = state.nco_phase.shape[0]
+    assert t % decimate == 0
+
+    phases = jnp.swapaxes(accu.ramp(state.nco_phase, nco_steps, t), -1, -2)
+    lo_re, lo_im = cossin(phases)
+    xi = x[:, None]
+    mi = fxp.q_apply(lo_re, xi, 32)
+    mq = fxp.q_apply(-lo_im, xi, 32)
+    miq = jnp.concatenate([mi, mq], axis=1)
+
+    bq_state, yiq = df1_bank_q(ba_q, state.bq, miq, f, interpret=interpret)
+    yi_d = yiq[::decimate, :c]
+    yq_d = yiq[::decimate, c:]
+
+    ph = atan2(yq_d, yi_d)
+    pll_state, _ = pll.block(pll_ba, state.pll, ph)
+
+    new_state = DdcBankBiquadState(
+        nco_phase=accu.advance(state.nco_phase, nco_steps, t),
+        bq=bq_state,
+        pll=pll_state,
+    )
+    return new_state, (yi_d, yq_d, pll.frequency(pll_state))
+
+
 @partial(jax.jit, static_argnames=("decimate",))
 def ddc_bank_block(
     state: DdcBankState,
