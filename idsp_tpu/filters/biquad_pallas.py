@@ -130,6 +130,157 @@ def _df1_q_kernel(
         out_state_ref[...] = st
 
 
+def _sos_q_kernel(
+    st_in_ref, x_ref, y_ref, out_state_ref, state_ref, *, ba: tuple, f: int,
+    n_stages: int
+):
+    """Stage-major SOS cascade, whole cascade per time step in-kernel.
+
+    State rows: stage n occupies rows [4n, 4n+4) as [x1; x2; y1; y2].
+    Same Mosaic workarounds as `_df1_q_kernel` (packed single-array
+    carry, static coefficients, i32 loop bounds).
+    """
+    tq = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(tq == 0)
+    def _():
+        state_ref[...] = st_in_ref[...]
+
+    tc = x_ref.shape[0]
+
+    def body(i, carry):
+        cur = x_ref[i]
+        rows = []
+        for n in range(n_stages):
+            b0, b1, b2, a1, a2 = (jnp.int32(v) for v in ba[5 * n : 5 * n + 5])
+            x1 = carry[4 * n + 0]
+            x2 = carry[4 * n + 1]
+            y1 = carry[4 * n + 2]
+            y2 = carry[4 * n + 3]
+            acc = _mul_i32_i32_to_i64(jnp.full_like(cur, b0), cur)
+            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, b1), x1))
+            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, b2), x2))
+            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, a1), y1))
+            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, a2), y2))
+            y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+            rows.extend([cur, x1, y0, y1])
+            cur = y0
+        y_ref[i] = cur
+        return jnp.stack(rows)
+
+    st = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(tc), body, state_ref[...]
+    )
+    state_ref[...] = st
+
+    @pl.when(tq == n_t - 1)
+    def _():
+        out_state_ref[...] = st
+
+
+def sos_bank_q(ba_stages, states, xs, f: int = 29, *, time_chunk: int = 256,
+               interpret: bool = False):
+    """N-stage fixed-point SOS cascade over a channel bank (one Pallas
+    pass; the whole cascade advances per time step in VMEM).
+
+    Args:
+      ba_stages: (N, 5) i32 coefficients (static).
+      states: list/tuple of N Df1State, each (c, 2).
+      xs: (t, c) i32.
+
+    Returns (new_states, ys) bit-identical to chaining `df1_process_q`
+    stage-major (the reference `sos` path, py.rs:51-74).
+    """
+    import numpy as _np
+
+    ba_arr = _np.asarray(ba_stages).reshape(-1, 5)
+    n_stages = ba_arr.shape[0]
+    ba_static = tuple(int(v) for v in ba_arr.reshape(-1))
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    st_in = jnp.concatenate(
+        [
+            jnp.stack(
+                [s.x[..., 0], s.x[..., 1], s.y[..., 0], s.y[..., 1]], axis=0
+            )
+            for s in states
+        ],
+        axis=0,
+    ).reshape(4 * n_stages, cs, 128)
+
+    ys, st_out = _sos_bank_q_impl(
+        ba_static, st_in, xs.reshape(t, cs, 128), f,
+        n_stages=n_stages, time_chunk=time_chunk, interpret=interpret,
+    )
+    st_out = st_out.reshape(4 * n_stages, c)
+    new_states = [
+        Df1State(
+            x=jnp.stack([st_out[4 * n], st_out[4 * n + 1]], axis=-1),
+            y=jnp.stack([st_out[4 * n + 2], st_out[4 * n + 3]], axis=-1),
+        )
+        for n in range(n_stages)
+    ]
+    return new_states, ys.reshape(t, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "n_stages", "time_chunk", "interpret"),
+)
+def _sos_bank_q_impl(ba_static, st_in, xs3, f, *, n_stages, time_chunk,
+                     interpret):
+    t, cs, _ = xs3.shape
+    c = cs * 128
+    vmem_cap = max(8, (12 * 2**20) // (16 * c))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk:
+        time_chunk //= 2
+    assert time_chunk >= 8
+
+    rows = 4 * n_stages
+    grid = (t // time_chunk,)
+    kernel = functools.partial(
+        _sos_q_kernel, ba=ba_static, f=f, n_stages=n_stages
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (rows, cs, 128),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (time_chunk, cs, 128),
+                lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (time_chunk, cs, 128),
+                lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rows, cs, 128),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, cs, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows, cs, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, cs, 128), jnp.int32)],
+        interpret=interpret,
+    )(st_in, xs3)
+
+
 def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
                interpret: bool = False):
     """Fixed-point DF1 biquad over a channel bank, Pallas fast path.

@@ -63,3 +63,36 @@ def test_pallas_df1_bank_gain_extremes():
     _, ys_ref = biquad.df1_process_q(ba_q, 30, st, xs)
     _, ys_pl = df1_bank_q(ba_q, st, xs, 30, time_chunk=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+
+
+def test_pallas_sos_cascade_bitexact():
+    from idsp_tpu.filters.biquad_pallas import sos_bank_q
+
+    c, t = 128, 256
+    rng = np.random.default_rng(7)
+    bas = np.stack(
+        [
+            biquad.quantize_ba(
+                biquad.from_cookbook(Filter().critical_frequency(fc).lowpass()),
+                29,
+            )
+            for fc in (0.05, 0.1, 0.15)
+        ]
+    )
+    xs = jnp.asarray(
+        rng.integers(-(2**24), 2**24, size=(t, c), dtype=np.int64).astype(np.int32)
+    )
+    states = [biquad.df1_init((c,), jnp.int32) for _ in range(3)]
+    sts_pl, ys_pl = sos_bank_q(bas, states, xs, 29, time_chunk=128, interpret=True)
+
+    # stage-major reference
+    y = xs
+    refs = []
+    for i in range(3):
+        st = biquad.df1_init((c,), jnp.int32)
+        st, y = biquad.df1_process_q(jnp.asarray(bas[i]), 29, st, y)
+        refs.append(st)
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(y))
+    for a, b in zip(sts_pl, refs):
+        np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+        np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
