@@ -362,6 +362,7 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
             jax.ShapeDtypeStruct((4, cs, 128), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((4, cs, 128), jnp.int32)],
+        input_output_aliases={1: 0},  # donate xs -> ys (same shape)
         interpret=interpret,
     )(st_in, xs3)
 
