@@ -194,3 +194,36 @@ def test_forward_gain_and_zpk():
     assert biquad.forward_gain(biquad.proportional(np.float64(3.0))) == 3.0
     ba = biquad.from_zpk((0.5, 0.5), (0.1, 0.2), 2.0)
     assert ba.shape == (5,)
+
+
+def test_atomic_coefficient_swap_without_state_reset():
+    # The DF1 atomic-retune property (biquad.rs:34-36): coefficients can
+    # change between blocks with the carried state, and the result
+    # equals a single filter that switched coefficients at that sample.
+    rng = np.random.default_rng(9)
+    ba_a = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.05).lowpass()), 29
+        )
+    )
+    ba_b = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.2).highpass()), 29
+        )
+    )
+    xs = jnp.asarray(
+        rng.integers(-(2**24), 2**24, size=512, dtype=np.int64).astype(np.int32)
+    )
+    st = biquad.df1_init((), jnp.int32)
+    st_mid, y1 = biquad.df1_process_q(ba_a, 29, st, xs[:256])
+    _, y2 = biquad.df1_process_q(ba_b, 29, st_mid, xs[256:])
+    y_swap = np.concatenate([np.asarray(y1), np.asarray(y2)])
+
+    # per-sample switch reference
+    st = biquad.df1_init((), jnp.int32)
+    outs = []
+    for i in range(512):
+        ba = ba_a if i < 256 else ba_b
+        st, y = biquad.df1_step_q(ba, 29, st, xs[i])
+        outs.append(int(y))
+    np.testing.assert_array_equal(y_swap, np.array(outs, np.int32))

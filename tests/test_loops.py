@@ -277,3 +277,21 @@ def test_rpll_wide_fast_scenario():
     # rpll.rs:251-262: period 990, noise 5, shifts 10/9.
     cfg = rpll.RpllConfig(dt2=8, shift_frequency=10, shift_phase=9)
     _rpll_measure(cfg, 990, 351, 5, [2e-5, 3e-1, 2e-4, 2e-1], n=1 << 16)
+
+
+def test_rpll_narrow_slow_scenario():
+    # rpll.rs:238-249: period 1818181, noise 1000, shifts 23/22.
+    cfg = rpll.RpllConfig(dt2=8, shift_frequency=23, shift_phase=22)
+    _rpll_measure(cfg, 1818181, 35281, 1000, [2e-4, 6e-3, 2e-3, 2e-3], n=1 << 16)
+
+
+def test_rpll_wide_slow_scenario():
+    # rpll.rs:264-275: period 1818181, noise 1000, shifts 21/20.
+    cfg = rpll.RpllConfig(dt2=8, shift_frequency=21, shift_phase=20)
+    _rpll_measure(cfg, 1818181, 35281, 1000, [2e-3, 6e-2, 2e-3, 2e-2], n=1 << 16)
+
+
+def test_rpll_batch_fast_narrow_scenario():
+    # rpll.rs:277-289: dt2 11, period 2431, noise 100, shifts 23/23.
+    cfg = rpll.RpllConfig(dt2=11, shift_frequency=23, shift_phase=23)
+    _rpll_measure(cfg, 2431, 35281, 100, [1e-7, 2e-4, 6e-3, 6e-3], n=1 << 16)
