@@ -54,8 +54,21 @@ def sos(sos_rows, xy, *, f: int = 29):
     ba5 = biquad.from_cookbook(rows.reshape(-1, 2, 3))
     ba_q = biquad.quantize_ba(ba5, f)
     y = jnp.asarray(xy, jnp.int32)
+    if (
+        y.ndim == 2
+        and y.shape[1] % 128 == 0
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        # multi-channel banks ride the fused Pallas cascade kernel
+        from .filters.biquad_pallas import sos_bank_q
+
+        states = [
+            biquad.df1_init(y.shape[1:], jnp.int32) for _ in range(len(ba_q))
+        ]
+        _, y = sos_bank_q(ba_q, states, y, f)
+        return y
     for stage in ba_q:
-        st = biquad.df1_init(y.shape[:-1], jnp.int32)
+        st = biquad.df1_init(y.shape[1:], jnp.int32)
         _, y = biquad.df1_process_q(jnp.asarray(stage), f, st, y)
     return y
 
@@ -71,7 +84,7 @@ def sos_clamp_wide(sos_rows, xy, *, f: int = 29):
         u = _round_sat_i32(rows[i, 6])
         lo = _round_sat_i32(rows[i, 7])
         hi = _round_sat_i32(rows[i, 8])
-        st = biquad.df1_wide_init(y.shape[:-1])
+        st = biquad.df1_wide_init(y.shape[1:])
         stage_j = jnp.asarray(stage)
 
         def step(s, x, stage_j=stage_j, u=u, lo=lo, hi=hi):

@@ -103,3 +103,17 @@ def test_biquad_config_quantized_and_dict_roundtrip():
     bad = BiquadConfig("Ba", BaConfig(min=1.0, max=-1.0))
     with pytest.raises(DesignError):
         bad.build(Units())
+
+
+def test_compat_sos_multichannel_matches_single():
+    # a (t, c) bank gives each channel the same bits as 1-D processing
+    ba = Filter().critical_frequency(0.08).lowpass()
+    rows = np.concatenate([ba[0], ba[1]])[None, :]
+    rng = np.random.default_rng(11)
+    x2 = rng.integers(-(2**24), 2**24, size=(200, 4), dtype=np.int64).astype(
+        np.int32
+    )
+    y2 = np.asarray(compat.sos(rows, x2))
+    for ch in range(4):
+        y1 = np.asarray(compat.sos(rows, x2[:, ch]))
+        np.testing.assert_array_equal(y2[:, ch], y1)
