@@ -104,6 +104,50 @@ class Sweep:
         return ys
 
 
+def harmonic_impulse_responses(
+    sweep: Sweep, y, n: int, n_harmonics: int, window: int
+):
+    """Swept-sine deconvolution into per-harmonic impulse responses.
+
+    The reference documents the workflow on `inverse_filter`
+    (src/sweptsine.rs:83-101): stimulate with `accu_osc(sweep)`, FFT the
+    response, multiply by the inverse filter to get the transfer
+    function, inverse-FFT to the impulse response; the k-th harmonic's
+    (Hammerstein-kernel) response precedes the linear one by
+    `sweep.delay(k)` samples — window each out.
+
+    Args:
+      sweep: the stimulus sweep.
+      y: (nfft,) response to the `accu_osc` stimulus (real), already
+        padded/truncated to the analysis length.
+      n: stimulus length used (for delay bookkeeping).
+      n_harmonics: number of harmonic responses to extract (>= 1).
+      window: half-width of the rectangular extraction window.
+
+    Returns:
+      (n_harmonics, 2*window) array: row k-1 is the k-th harmonic
+      impulse response (k=1 is linear).
+    """
+    import numpy as onp
+
+    y = onp.asarray(y, onp.float64)
+    nfft = len(y)
+    yf = onp.fft.rfft(y)
+    f = onp.arange(len(yf)) / nfft
+    inv_re, inv_im = sweep.inverse_filter(jnp.asarray(f[1:], jnp.float32))
+    inv = onp.concatenate(
+        [[0.0 + 0.0j], onp.asarray(inv_re) + 1j * onp.asarray(inv_im)]
+    )
+    h = onp.fft.irfft(yf * inv, nfft)
+    out = onp.zeros((n_harmonics, 2 * window))
+    for k in range(1, n_harmonics + 1):
+        # harmonic k sits delay(k) BEFORE the linear response (at 0)
+        center = int(round(-sweep.delay(k))) % nfft if k > 1 else 0
+        idx = (onp.arange(-window, window) + center) % nfft
+        out[k - 1] = h[idx]
+    return out
+
+
 def accu_osc(sweep: Sweep, n: int):
     """Exponentially swept sine as IQ (src/sweptsine.rs:160-190).
 
