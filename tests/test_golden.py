@@ -109,3 +109,31 @@ def test_pallas_interpret_vs_golden():
     for ch in range(8):
         _, yg = golden.biquad_df1_q(ba, 29, np.zeros(4, np.int32), x[:, ch])
         np.testing.assert_array_equal(np.asarray(y_pl[:, ch]), yg)
+
+
+def test_biquad_fuzz_many_coefficient_sets():
+    # 20 random Q29/Q30 coefficient sets x full-range random inputs,
+    # every output bit-compared against the C golden model.
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        f = int(rng.integers(27, 31))
+        ba = rng.integers(-(2**31), 2**31, size=5, dtype=np.int64).astype(
+            np.int32
+        )
+        x = _rand_i32(rng, 256)
+        st_j = biquad.df1_init((), jnp.int32)
+        _, yj = biquad.df1_process_q(jnp.asarray(ba), f, st_j, jnp.asarray(x))
+        _, yg = golden.biquad_df1_q(ba, f, np.zeros(4, np.int32), x)
+        np.testing.assert_array_equal(np.asarray(yj), yg, err_msg=f"trial {trial}")
+
+
+def test_qmul_fuzz_full_range():
+    rng = np.random.default_rng(321)
+    from idsp_tpu import fxp
+
+    a = _rand_i32(rng, 4096)
+    b = _rand_i32(rng, 4096)
+    for f in (1, 15, 29, 31):
+        got = np.asarray(fxp.q_mul(jnp.asarray(a), jnp.asarray(b), f))
+        want = golden.q_mul(a, b, f)
+        np.testing.assert_array_equal(got, want)
