@@ -130,6 +130,121 @@ def _df1_q_kernel(
         out_state_ref[...] = st
 
 
+def _df1_f32_kernel(
+    st_in_ref, x_ref, y_ref, out_state_ref, state_ref, *, ba: tuple
+):
+    """Float DF1 bank: same structure as the integer kernel, plain FMAs."""
+    tq = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(tq == 0)
+    def _():
+        state_ref[...] = st_in_ref[...]
+
+    b0 = jnp.float32(ba[0])
+    b1 = jnp.float32(ba[1])
+    b2 = jnp.float32(ba[2])
+    a1 = jnp.float32(ba[3])
+    a2 = jnp.float32(ba[4])
+    tc = x_ref.shape[0]
+
+    def body(i, carry):
+        x1 = carry[0]
+        x2 = carry[1]
+        y1 = carry[2]
+        y2 = carry[3]
+        x0 = x_ref[i]
+        y0 = b0 * x0 + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
+        y_ref[i] = y0
+        return jnp.stack([x0, x1, y0, y1])
+
+    st = jax.lax.fori_loop(jnp.int32(0), jnp.int32(tc), body, state_ref[...])
+    state_ref[...] = st
+
+    @pl.when(tq == n_t - 1)
+    def _():
+        out_state_ref[...] = st
+
+
+def df1_bank_f32(ba, state: Df1State, xs, *, time_chunk: int = 256,
+                 interpret: bool = False):
+    """Float DF1 biquad bank, Pallas fast path (sequential semantics —
+    matches `df1_process` scanned exactly, unlike the reassociating
+    `df1_block_float`)."""
+    import numpy as _np
+
+    ba_static = tuple(float(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _df1_bank_f32_impl(
+        ba_static, state, xs, time_chunk=time_chunk, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ba_static", "time_chunk", "interpret")
+)
+def _df1_bank_f32_impl(ba_static, state: Df1State, xs, *, time_chunk,
+                       interpret):
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    vmem_cap = max(8, (12 * 2**20) // (16 * c))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk:
+        time_chunk //= 2
+    assert time_chunk >= 8
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128).astype(jnp.float32)
+    xs3 = xs.reshape(t, cs, 128)
+
+    grid = (t // time_chunk,)
+    kernel = functools.partial(_df1_f32_kernel, ba=ba_static)
+    ys, st_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (4, cs, 128),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (time_chunk, cs, 128),
+                lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (time_chunk, cs, 128),
+                lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, cs, 128),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, cs, 128), jnp.float32),
+            jax.ShapeDtypeStruct((4, cs, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, cs, 128), jnp.float32)],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(st_in, xs3)
+
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
+
+
 def _sos_q_kernel(
     st_in_ref, x_ref, y_ref, out_state_ref, state_ref, *, ba: tuple, f: int,
     n_stages: int

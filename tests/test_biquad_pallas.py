@@ -96,3 +96,19 @@ def test_pallas_sos_cascade_bitexact():
     for a, b in zip(sts_pl, refs):
         np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
         np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+
+
+def test_pallas_f32_bank_matches_scan():
+    from idsp_tpu.filters.biquad_pallas import df1_bank_f32
+
+    c, t = 128, 256
+    rng = np.random.default_rng(5)
+    ba = biquad.from_cookbook(
+        Filter().critical_frequency(0.07).lowpass()
+    ).astype(np.float32)
+    xs = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    st = biquad.df1_init((c,), jnp.float32)
+    st_ref, ys_ref = biquad.df1_process(jnp.asarray(ba), st, xs)
+    st_pl, ys_pl = df1_bank_f32(ba, st, xs, time_chunk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
