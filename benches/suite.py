@@ -153,6 +153,24 @@ def main():
         )
     )
 
+    try:
+        from idsp_tpu.filters.biquad_pallas import df1_bank_f32
+
+        if c % 128 == 0:
+            run_f32_pl = lambda st, xs: df1_bank_f32(
+                np.asarray(ba5, np.float32), st, xs,
+                time_chunk=min(512, t),
+            )
+            results.append(
+                bench_stateful(
+                    "idsp f32 df1 (pallas bank)", run_f32_pl,
+                    biquad.df1_init((c,), jnp.float32), xs_f32, samples=n,
+                    iters=iters,
+                )
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"# f32 pallas bank skipped: {str(e)[:80]}")
+
     @jax.jit
     def run_f32_blk(st, xs):
         return biquad.df1_block_float(ba_f32, st, xs)
