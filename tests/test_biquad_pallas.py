@@ -112,3 +112,23 @@ def test_pallas_f32_bank_matches_scan():
     st_pl, ys_pl = df1_bank_f32(ba, st, xs, time_chunk=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
     np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+
+def test_pallas_wdf_bank_bitexact():
+    from idsp_tpu.filters import wdf
+    from idsp_tpu.filters.wdf_pallas import wdf_bank
+
+    c, t = 128, 256
+    rng = np.random.default_rng(6)
+    tpas = wdf.nibbles(0xAD, 2)
+    a = wdf.quantize(tpas, [-0.9, 0.9])
+    xs = jnp.asarray(
+        rng.integers(-(2**24), 2**24, size=(t, c), dtype=np.int64).astype(np.int32)
+    )
+    st = wdf.init(2, (c,))
+
+    # reference scan (channels on trailing axes)
+    st_ref, ys_ref = wdf.block(tpas, jnp.asarray(a), st, xs)
+    st_pl, ys_pl = wdf_bank(tpas, a, st, xs, time_chunk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.z), np.asarray(st_ref.z))
