@@ -1,0 +1,272 @@
+"""Multi-chip scaling harness (BASELINE.json north star: >= 80%
+samples/s efficiency 1 chip -> 2+ hosts).
+
+Runs the channel-sharded DDC chain (NCO mix -> Q32 DF1 biquad -> HBF
+decimate-by-8) at 1/2/4/... devices, weak scaling (fixed channels per
+device), and reports:
+
+* samples/s per device count + weak-scaling efficiency vs 1 device;
+* bytes moved over collectives per block (parsed from the compiled
+  HLO), per collective kind — the channel-parallel chain should be
+  zero; the sequence-parallel biquad pays ppermute + all_gather;
+* the same table for the SP (time-sharded) float biquad, the
+  collective-heavy path.
+
+Runs unchanged on real multi-chip hardware (it uses whatever
+`jax.devices()` offers); with fewer real devices than requested it
+falls back to virtual CPU devices (``--virtual``, default when only
+one device is present).  Virtual-CPU timings validate the *scaling
+machinery and collective volume*, not absolute throughput.
+
+Usage: python benches/scaling.py [--devices 1,2,4,8] [--write-md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=str, default="1,2,4,8")
+    ap.add_argument("--channels-per-device", type=int, default=128)
+    ap.add_argument("--time", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--real", action="store_true",
+                    help="use the real devices jax.devices() offers "
+                         "(default: a virtual CPU mesh — the axon TPU "
+                         "plugin ignores JAX_PLATFORMS, so virtual vs "
+                         "real must be decided before backend init)")
+    ap.add_argument("--write-md", action="store_true")
+    return ap.parse_args(argv)
+
+
+def _collective_bytes(compiled_text: str) -> dict:
+    """Sum output bytes of collective ops in a compiled HLO dump.
+
+    Crude but effective: every collective op line carries its result
+    shape; bytes = product(dims) * dtype size.
+    """
+    sizes = {"f32": 4, "f64": 8, "s32": 4, "s64": 8, "u32": 4, "u64": 8,
+             "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1, "bf16": 2}
+    out: dict[str, int] = {}
+    pat = re.compile(
+        r"=\s*(\w+)\[([\d,]*)\][^ ]*\s+(all-gather|collective-permute|"
+        r"all-reduce|reduce-scatter|all-to-all)"
+    )
+    for m in pat.finditer(compiled_text):
+        dtype, dims, kind = m.groups()
+        nbytes = sizes.get(dtype, 4)
+        for d in dims.split(","):
+            if d.strip():
+                nbytes *= int(d)
+        out[kind] = out.get(kind, 0) + nbytes
+    return out
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    dev_counts = [int(v) for v in args.devices.split(",")]
+
+    if not args.real:
+        # Must happen before backend init: XLA_FLAGS is read when the
+        # CPU client is created, and the axon plugin ignores the
+        # JAX_PLATFORMS env var (config.update works).
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(dev_counts)}"
+        )
+    import jax
+
+    if not args.real:
+        jax.config.update("jax_platforms", "cpu")
+    args.virtual = not args.real
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from idsp_tpu import fxp
+    from idsp_tpu.design import Filter
+    from idsp_tpu.filters import biquad, hbf
+    from idsp_tpu.ops.trig import cossin
+    from idsp_tpu.parallel.stream import sharded_df1_float
+    from idsp_tpu.profiling import sync
+
+    cpd, t = args.channels_per_device, args.time
+    rng = np.random.default_rng(0)
+    ba5 = biquad.from_cookbook(Filter().critical_frequency(0.02).lowpass())
+    ba_q = jnp.asarray(biquad.quantize_ba(ba5, 29))
+
+    rows = []
+
+    def chain_fn(state, x, steps, phase0):
+        """Per-shard DDC chain: runs identically on each dp slice."""
+        tt = x.shape[0]
+        bq, dec_i, dec_q = state
+        idx = (jnp.arange(1, tt + 1, dtype=jnp.int64) & 0xFFFFFFFF).astype(
+            jnp.int32
+        )
+        phases = phase0[None, :] + steps[None, :] * idx[:, None]
+        lo_re, lo_im = cossin(phases)
+        xi = x[:, None]
+        mi = fxp.q_apply(lo_re, xi, 32)
+        mq = fxp.q_apply(-lo_im, xi, 32)
+        miq = jnp.concatenate([mi, mq], axis=1)
+        bq, yiq = biquad.df1_process_q(ba_q, 29, bq, miq, unroll=8)
+        cc = steps.shape[0]
+        fi = yiq[:, :cc].astype(jnp.float32).T
+        fq = yiq[:, cc:].astype(jnp.float32).T
+        dec_i, zi = hbf.hbf_dec_cascade(dec_i, fi)
+        dec_q, zq = hbf.hbf_dec_cascade(dec_q, fq)
+        return (bq, dec_i, dec_q), (zi, zq)
+
+    print(f"# platform={jax.devices()[0].platform} "
+          f"n_avail={len(jax.devices())} cpd={cpd} t={t}", flush=True)
+
+    base_rate = None
+    for nd in dev_counts:
+        if nd > len(jax.devices()):
+            print(f"# skip {nd} devices (only {len(jax.devices())})")
+            continue
+        c = cpd * nd
+        mesh = Mesh(np.array(jax.devices()[:nd]), ("dp",))
+        steps = jnp.asarray(
+            rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64).astype(
+                np.int32
+            )
+        )
+        x = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64).astype(
+                np.int32
+            )
+        )
+        phase0 = jnp.zeros((c,), jnp.int32)
+        state = (
+            biquad.df1_init((2 * cpd,), jnp.int32),
+            hbf.hbf_dec_cascade_init(3, (cpd,)),
+            hbf.hbf_dec_cascade_init(3, (cpd,)),
+        )
+        # channel-sharded: state + per-channel params sharded on dp,
+        # the sample stream replicated
+        fn = jax.jit(
+            shard_map(
+                chain_fn,
+                mesh=mesh,
+                in_specs=(P("dp"), P(), P("dp"), P("dp")),
+                out_specs=(P("dp"), P("dp")),
+            )
+        )
+        # shard_map state specs: leaves are (2*cpd,...) per device ->
+        # global (2*c, ...)
+        gstate = (
+            biquad.df1_init((2 * c,), jnp.int32),
+            hbf.hbf_dec_cascade_init(3, (c,)),
+            hbf.hbf_dec_cascade_init(3, (c,)),
+        )
+        lowered = fn.lower(gstate, x, steps, phase0)
+        compiled = lowered.compile()
+        coll = _collective_bytes(compiled.as_text())
+
+        out = fn(gstate, x, steps, phase0)
+        sync(out)
+        best = float("inf")
+        for _ in range(3):
+            st = gstate
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                st, z = fn(st, x, steps, phase0)
+            sync(z)
+            best = min(best, time.perf_counter() - t0)
+        rate = c * t * args.iters / best
+        if nd == dev_counts[0]:
+            base_rate = rate / nd
+        eff = rate / (nd * base_rate) if base_rate else float("nan")
+        coll_s = (
+            ", ".join(f"{k}={v / 1e3:.1f}kB" for k, v in sorted(coll.items()))
+            or "none"
+        )
+        rows.append((f"dp chain x{nd}", nd, rate, eff, coll_s))
+        print(f"dp chain x{nd}: {rate / 1e6:.1f} MS/s  eff={eff:.2f}"
+              f"  collectives/block: {coll_s}", flush=True)
+
+    # SP (time-sharded) float biquad — the collective-paying path
+    sp_base = None
+    for nd in dev_counts:
+        if nd > len(jax.devices()):
+            continue
+        mesh = Mesh(np.array(jax.devices()[:nd]), ("sp",))
+        c_sp = cpd
+        tt = t  # fixed total length: strong scaling for SP
+        xs = jnp.asarray(rng.normal(size=(tt, c_sp)))
+        st = biquad.df1_init((c_sp,), jnp.float64)
+        ba_f = jnp.asarray(ba5)
+
+        def sp_fn(st, xs):
+            return sharded_df1_float(ba_f, st, xs, "sp")
+
+        fn = jax.jit(
+            shard_map(
+                sp_fn, mesh=mesh,
+                in_specs=(P(), P("sp")),
+                out_specs=(P(), P("sp")),
+            )
+        )
+        compiled = fn.lower(st, xs).compile()
+        coll = _collective_bytes(compiled.as_text())
+        out = fn(st, xs)
+        sync(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s2 = st
+            for _ in range(args.iters):
+                s2, ys = fn(s2, xs)
+            sync(ys)
+            best = min(best, time.perf_counter() - t0)
+        rate = c_sp * tt * args.iters / best
+        if sp_base is None:
+            sp_base = rate
+        eff = rate / sp_base
+        coll_s = (
+            ", ".join(f"{k}={v / 1e3:.1f}kB" for k, v in sorted(coll.items()))
+            or "none"
+        )
+        rows.append((f"sp df1 x{nd}", nd, rate, eff, coll_s))
+        print(f"sp df1 x{nd}: {rate / 1e6:.1f} MS/s  speedup={eff:.2f}"
+              f"  collectives/block: {coll_s}", flush=True)
+
+    if args.write_md:
+        path = os.path.join(os.path.dirname(__file__), "SCALING.md")
+        with open(path, "w") as fh:
+            fh.write(
+                "# Scaling harness results\n\n"
+                f"Platform: {jax.devices()[0].platform} "
+                f"({'virtual CPU mesh' if args.virtual else 'real devices'});"
+                f" {cpd} channels/device, {t}-sample blocks.\n\n"
+                "Channel (dp) rows are weak scaling — efficiency is\n"
+                "rate / (n * single-device rate); the >= 80% north star\n"
+                "applies to this table on real multi-chip hardware.\n"
+                "SP rows are strong scaling of a fixed-length stream\n"
+                "(speedup vs 1 device).  Collective volume is per\n"
+                "compiled step, parsed from HLO.\n\n"
+                "| config | devices | MS/s | eff/speedup | collectives |\n"
+                "|---|---|---|---|---|\n"
+            )
+            for name, nd, rate, eff, coll_s in rows:
+                fh.write(f"| {name} | {nd} | {rate / 1e6:.1f} |"
+                         f" {eff:.2f} | {coll_s} |\n")
+        print(f"wrote {path}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

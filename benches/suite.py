@@ -1,232 +1,312 @@
 """Named benchmark suite mirroring the reference's embedded bench configs
 (tests/embedded/src/bin/{trig,biquad,hbf}.rs).
 
-Run: ``python benches/suite.py [--channels C] [--time T]``
+Canonical config (what RESULTS.md records): ``--channels 512 --time
+32768 --iters 10 --trials 3``.  Each row reports aggregate throughput
+(MS/s) over a C-channel bank — the TPU analog of the reference's
+cycles/sample tables: the reference measures one core at one
+sample/call; the TPU earns its keep running C channels wide, so the
+honest comparison is total samples/s/chip.  Per row the suite runs
+``trials`` independent timed trials (each of ``iters`` chained
+dispatches) and records the median with min/max spread, so RESULTS.md is
+reproducible from exactly one invocation:
 
-Each config reports aggregate throughput (MS/s) over a C-channel bank —
-the TPU analog of the reference's cycles/sample tables: the reference
-measures one core at one sample/call; the TPU earns its keep by running
-C channels wide, so the honest comparison is total samples/s/chip.
+    python benches/suite.py --write-md
+
+Rows with both a scan and a Pallas path bench both — the kernel is the
+production path, the scan is the semantic reference it is bit-equal to.
 """
 
 from __future__ import annotations
 
 import argparse
+import statistics
 import sys
+import time
+from dataclasses import dataclass, field
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
 
-def main():
+@dataclass
+class Row:
+    name: str
+    rates: list = field(default_factory=list)  # samples/s per trial
+
+    @property
+    def median(self):
+        return statistics.median(self.rates)
+
+    @property
+    def lo(self):
+        return min(self.rates)
+
+    @property
+    def hi(self):
+        return max(self.rates)
+
+    def line(self) -> str:
+        spread = (
+            (self.hi - self.lo) / self.median * 100 if self.median else 0.0
+        )
+        return (
+            f"{self.name:36s} {self.median / 1e6:12.1f} MS/s"
+            f"  [{self.lo / 1e6:.0f}, {self.hi / 1e6:.0f}]"
+            f" ({spread:4.1f}% spread)"
+        )
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--channels", type=int, default=256)
-    ap.add_argument("--time", type=int, default=4096)
-    ap.add_argument("--iters", type=int, default=5)
-    args = ap.parse_args()
+    ap.add_argument("--channels", type=int, default=512)
+    ap.add_argument("--time", type=int, default=32768)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--write-md", action="store_true",
+                    help="regenerate benches/RESULTS.md from this run")
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter on row names")
+    args = ap.parse_args(argv)
+
+    import os
 
     import jax
+
+    if os.environ.get("IDSP_FORCE_CPU"):
+        # the axon TPU plugin ignores JAX_PLATFORMS; this doesn't
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from idsp_tpu.design import Filter
     from idsp_tpu.filters import biquad, cic, hbf, lowpass, pll, wdf
-    from idsp_tpu.ops import accu
     from idsp_tpu.ops.trig import atan2, cossin
-    from idsp_tpu.profiling import bench as _bench
-    from idsp_tpu.profiling import bench_stateful as _bench_stateful
-    from idsp_tpu.profiling import measure_roundtrip
-    import functools
+    from idsp_tpu.profiling import measure_roundtrip, sync
 
     rt = measure_roundtrip()
-    bench = functools.partial(_bench, overhead=rt)
-    bench_stateful = functools.partial(_bench_stateful, overhead=rt)
-
-    c, t, iters = args.channels, args.time, args.iters
+    c, t, iters, trials = args.channels, args.time, args.iters, args.trials
     n = c * t
     rng = np.random.default_rng(0)
-    results = []
+    rows: list[Row] = []
 
-    # --- trig (trig.rs:28-29) ---
+    def run_trials(name, fn, state, *xargs, samples=n, stateful=True):
+        """Bench one config: warm (compile), then `trials` timed trials
+        of `iters` chained dispatches each, fixed round trip subtracted."""
+        if args.only and args.only not in name:
+            return
+        try:
+            out = fn(state, *xargs) if stateful else fn(*xargs)
+            sync(out)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} skipped: {str(e)[:100]}")
+            return
+        row = Row(name)
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            st = state
+            for _ in range(iters):
+                if stateful:
+                    res = fn(st, *xargs)
+                    st = res[0]
+                else:
+                    res = fn(*xargs)
+            sync(res)
+            dt = max(time.perf_counter() - t0 - rt, 1e-9)
+            row.rates.append(samples * iters / dt)
+        rows.append(row)
+        print(row.line(), flush=True)
+
+    # ---- fixtures ----
     phases = jnp.asarray(
-        rng.integers(-(2**31), 2**31, size=(t, c), dtype=np.int64).astype(np.int32)
+        rng.integers(-(2**31), 2**31, size=(t, c), dtype=np.int64).astype(
+            np.int32
+        )
     )
-    f_cossin = jax.jit(lambda p: cossin(p))
-    results.append(bench("cossin slice", f_cossin, phases, samples=n, iters=iters))
-
     xy = jnp.asarray(
-        rng.integers(-(2**31), 2**31, size=(2, t, c), dtype=np.int64).astype(np.int32)
+        rng.integers(-(2**31), 2**31, size=(2, t, c), dtype=np.int64).astype(
+            np.int32
+        )
     )
-    f_atan2 = jax.jit(lambda a: atan2(a[1], a[0]))
-    results.append(bench("atan2 slice", f_atan2, xy, samples=n, iters=iters))
-
-    # --- biquads (biquad.rs bench configs) ---
-    ba_f = Filter().critical_frequency(0.1).lowpass()
-    ba5 = biquad.from_cookbook(ba_f)
+    ba5 = biquad.from_cookbook(Filter().critical_frequency(0.1).lowpass())
     ba_q29 = jnp.asarray(biquad.quantize_ba(ba5, 29))
     xs_i = jnp.asarray(
-        rng.integers(-(2**24), 2**24, size=(t, c), dtype=np.int64).astype(np.int32)
+        rng.integers(-(2**24), 2**24, size=(t, c), dtype=np.int64).astype(
+            np.int32
+        )
     )
     xs_f32 = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
     xs_f64 = jnp.asarray(rng.normal(size=(t, c)))
+    tc = min(512, t)
 
-    def mk_q(step_fn, init_fn, *cfg):
+    def scan_of(step_fn, *cfg, unroll=8):
         @jax.jit
         def run(st, xs):
             return jax.lax.scan(
-                lambda s, x: step_fn(*cfg, s, x), st, xs, unroll=8
+                lambda s, x: step_fn(*cfg, s, x), st, xs, unroll=unroll
             )
 
         return run
 
-    run_q29 = mk_q(biquad.df1_step_q, None, ba_q29, 29)
-    results.append(
-        bench_stateful(
-            "idsp q32<29> df1", run_q29, biquad.df1_init((c,), jnp.int32), xs_i,
-            samples=n, iters=iters,
+    # ---- trig (trig.rs:28-29) ----
+    run_trials("cossin slice", jax.jit(lambda p: cossin(p)), phases,
+               stateful=False)
+    run_trials("atan2 slice", jax.jit(lambda a: atan2(a[1], a[0])), xy,
+               stateful=False)
+
+    # ---- biquad variants (biquad.rs bench configs) ----
+    run_trials("q32<29> df1 (scan)", scan_of(biquad.df1_step_q, ba_q29, 29),
+               biquad.df1_init((c,), jnp.int32), xs_i)
+
+    from idsp_tpu.filters import biquad_pallas as bp
+
+    if c % 128 == 0:
+        run_trials(
+            "q32<29> df1 (pallas)",
+            lambda st, xs: bp.df1_bank_q(ba_q29, st, xs, 29, time_chunk=tc),
+            biquad.df1_init((c,), jnp.int32), xs_i,
+        )
+        run_trials(
+            "q32<29> df1 (pallas dyncoef)",
+            lambda st, xs: bp.df1_bank_q_coef(
+                ba_q29, st, xs, 29, time_chunk=tc
+            ),
+            biquad.df1_init((c,), jnp.int32), xs_i,
+        )
+
+    ba_q13_16 = jnp.asarray(biquad.quantize_ba(ba5, 13, dtype=jnp.int16))
+    xs_i16 = jnp.asarray(
+        rng.integers(-(2**14), 2**14, size=(t, c), dtype=np.int64).astype(
+            np.int16
         )
     )
-
-    # Pallas bank kernel (TPU only; falls back silently elsewhere)
-    try:
-        from idsp_tpu.filters.biquad_pallas import df1_bank_q
-
-        if c % 128 == 0:
-            run_pl = lambda st, xs: df1_bank_q(
-                ba_q29, st, xs, 29, time_chunk=min(2048, t)
-            )
-            r = bench_stateful(
-                "idsp q32 df1 (pallas bank)", run_pl,
-                biquad.df1_init((c,), jnp.int32), xs_i, samples=n, iters=iters,
-            )
-            results.append(r)
-    except Exception as e:  # noqa: BLE001
-        print(f"# pallas bank skipped: {str(e)[:80]}")
-
-    run_wide = mk_q(biquad.df1_wide_step, None, ba_q29, 29)
-    results.append(
-        bench_stateful(
-            "idsp q32 wide", run_wide, biquad.df1_wide_init((c,)), xs_i,
-            samples=n, iters=iters,
-        )
+    run_trials(
+        "q16<13> df1 (scan)",
+        scan_of(
+            lambda ba, f, s, x: biquad.df1_step_q(ba, f, s, x,
+                                                  dtype=jnp.int16),
+            ba_q13_16, 13,
+        ),
+        biquad.df1_init((c,), jnp.int16), xs_i16,
     )
 
-    run_dith = mk_q(biquad.df1_dither_step, None, ba_q29, 29)
-    results.append(
-        bench_stateful(
-            "idsp q32 dither", run_dith, biquad.df1_dither_init((c,)), xs_i,
-            samples=n, iters=iters,
-        )
+    ba_q61 = jnp.asarray(biquad.quantize_ba(ba5, 61, dtype=jnp.int64))
+    xs_i64 = jnp.asarray(
+        rng.integers(-(2**55), 2**55, size=(t, c), dtype=np.int64)
     )
+    run_trials("q64<61> df1 (scan, emulated i128)",
+               scan_of(biquad.df1_step_q64, ba_q61, 61),
+               biquad.df1_init((c,), jnp.int64), xs_i64)
+
+    run_trials("q32 wide (scan)", scan_of(biquad.df1_wide_step, ba_q29, 29),
+               biquad.df1_wide_init((c,)), xs_i)
+    run_trials("q32 dither (scan)",
+               scan_of(biquad.df1_dither_step, ba_q29, 29),
+               biquad.df1_dither_init((c,)), xs_i)
+
+    u, lo, hi = 0, -(2**30), 2**30
 
     @jax.jit
     def run_clamp(st, xs):
         return jax.lax.scan(
             lambda s, x: biquad.clamp_step(
                 biquad.df1_step_q(ba_q29, 29, s, x),
-                jnp.int32(0), jnp.int32(-(2**30)), jnp.int32(2**30),
+                jnp.int32(u), jnp.int32(lo), jnp.int32(hi),
             ),
             st, xs, unroll=8,
         )
 
-    results.append(
-        bench_stateful(
-            "idsp q32 clamp", run_clamp, biquad.df1_init((c,), jnp.int32), xs_i,
-            samples=n, iters=iters,
-        )
-    )
+    run_trials("q32 clamp (scan)", run_clamp,
+               biquad.df1_init((c,), jnp.int32), xs_i)
 
+    if c % 128 == 0:
+        run_trials(
+            "q32 clamp (pallas)",
+            lambda st, xs: bp.df1_clamp_bank_q(
+                ba_q29, st, xs, 29, u=u, lo=lo, hi=hi, time_chunk=tc
+            ),
+            biquad.df1_init((c,), jnp.int32), xs_i,
+        )
+        run_trials(
+            "q32 wide (pallas)",
+            lambda st, xs: bp.df1_wide_bank(ba_q29, st, xs, 29,
+                                            time_chunk=tc),
+            biquad.df1_wide_init((c,)), xs_i,
+        )
+        run_trials(
+            "q32 dither (pallas)",
+            lambda st, xs: bp.df1_dither_bank(ba_q29, st, xs, 29,
+                                              time_chunk=tc),
+            biquad.df1_dither_init((c,)), xs_i,
+        )
+        run_trials(
+            "q32 clamp+wide (pallas)",
+            lambda st, xs: bp.df1_wide_bank(
+                ba_q29, st, xs, 29, clamp=(u, lo, hi), time_chunk=tc
+            ),
+            biquad.df1_wide_init((c,)), xs_i,
+        )
+        run_trials(
+            "q32 clamp+dither (pallas)",
+            lambda st, xs: bp.df1_dither_bank(
+                ba_q29, st, xs, 29, clamp=(u, lo, hi), time_chunk=tc
+            ),
+            biquad.df1_dither_init((c,)), xs_i,
+        )
+
+    # ---- float biquads ----
     ba_f32 = jnp.asarray(ba5.astype(np.float32))
-    run_f32 = mk_q(biquad.df1_step, None, ba_f32)
-    results.append(
-        bench_stateful(
-            "idsp f32 df1 (scan)", run_f32, biquad.df1_init((c,), jnp.float32),
-            xs_f32, samples=n, iters=iters,
+    run_trials("f32 df1 (scan)", scan_of(biquad.df1_step, ba_f32),
+               biquad.df1_init((c,), jnp.float32), xs_f32)
+    run_trials("f32 df2t (scan)", scan_of(biquad.df2t_step, ba_f32),
+               biquad.df2t_init((c,), jnp.float32), xs_f32)
+    if c % 128 == 0:
+        run_trials(
+            "f32 df1 (pallas)",
+            lambda st, xs: bp.df1_bank_f32(
+                np.asarray(ba5, np.float32), st, xs, time_chunk=min(512, t)
+            ),
+            biquad.df1_init((c,), jnp.float32), xs_f32,
         )
+    run_trials(
+        "f32 df1 (assoc block)",
+        jax.jit(lambda st, xs: biquad.df1_block_float(ba_f32, st, xs)),
+        biquad.df1_init((c,), jnp.float32), xs_f32,
     )
+    run_trials("f64 df1 (scan)", scan_of(biquad.df1_step, jnp.asarray(ba5)),
+               biquad.df1_init((c,), jnp.float64), xs_f64)
 
-    run_f32_t = mk_q(biquad.df2t_step, None, ba_f32)
-    results.append(
-        bench_stateful(
-            "idsp f32 df2t (scan)", run_f32_t, biquad.df2t_init((c,), jnp.float32),
-            xs_f32, samples=n, iters=iters,
-        )
-    )
-
-    try:
-        from idsp_tpu.filters.biquad_pallas import df1_bank_f32
-
-        if c % 128 == 0:
-            run_f32_pl = lambda st, xs: df1_bank_f32(
-                np.asarray(ba5, np.float32), st, xs,
-                time_chunk=min(512, t),
-            )
-            results.append(
-                bench_stateful(
-                    "idsp f32 df1 (pallas bank)", run_f32_pl,
-                    biquad.df1_init((c,), jnp.float32), xs_f32, samples=n,
-                    iters=iters,
-                )
-            )
-    except Exception as e:  # noqa: BLE001
-        print(f"# f32 pallas bank skipped: {str(e)[:80]}")
-
-    @jax.jit
-    def run_f32_blk(st, xs):
-        return biquad.df1_block_float(ba_f32, st, xs)
-
-    results.append(
-        bench_stateful(
-            "idsp f32 df1 (assoc block)", run_f32_blk,
-            biquad.df1_init((c,), jnp.float32), xs_f32, samples=n, iters=iters,
-        )
-    )
-
-    ba_f64 = jnp.asarray(ba5)
-    run_f64 = mk_q(biquad.df1_step, None, ba_f64)
-    results.append(
-        bench_stateful(
-            "idsp f64 df1 (scan)", run_f64, biquad.df1_init((c,), jnp.float64),
-            xs_f64, samples=n, iters=iters,
-        )
-    )
-
-    # cascade4 (biquad.rs "idsp q32 Cascade4")
+    # ---- cascade4 (biquad.rs "idsp q32 Cascade4") ----
     ba_c = jnp.asarray(np.stack([biquad.quantize_ba(ba5, 29)] * 4))
-
-    @jax.jit
-    def run_casc(st, xs):
-        return jax.lax.scan(
-            lambda s, x: biquad.cascade_step_q(ba_c, 29, s, x), st, xs, unroll=4
-        )
-
-    results.append(
-        bench_stateful(
-            "idsp q32 cascade4", run_casc,
-            biquad.cascade_init(4, (c,), jnp.int32), xs_i, samples=n,
-            iters=iters,
-        )
+    run_trials(
+        "q32 cascade4 (scan)",
+        scan_of(biquad.cascade_step_q, ba_c, 29, unroll=4),
+        biquad.cascade_init(4, (c,), jnp.int32), xs_i,
     )
+    if c % 128 == 0:
 
-    # --- lowpass (biquad.rs lowpass1/lowpass2) ---
+        def run_sos(states, xs):
+            return bp.sos_bank_q(
+                np.stack([biquad.quantize_ba(ba5, 29)] * 4), states, xs, 29,
+                time_chunk=tc,
+            )
+
+        run_trials(
+            "q32 cascade4 (pallas)", run_sos,
+            [biquad.df1_init((c,), jnp.int32) for _ in range(4)], xs_i,
+        )
+
+    # ---- lowpass (biquad.rs lowpass1/lowpass2) ----
     k1 = jnp.asarray(lowpass.gains1(0.01))
-    run_lp1 = jax.jit(lambda st, xs: lowpass.block(k1, st, xs))
-    results.append(
-        bench_stateful(
-            "lowpass1", run_lp1, lowpass.init(1, (c,)), xs_i, samples=n,
-            iters=iters,
-        )
-    )
+    run_trials("lowpass1", jax.jit(lambda st, xs: lowpass.block(k1, st, xs)),
+               lowpass.init(1, (c,)), xs_i)
     k2 = jnp.asarray(lowpass.gains2(0.01))
-    run_lp2 = jax.jit(lambda st, xs: lowpass.block(k2, st, xs))
-    results.append(
-        bench_stateful(
-            "lowpass2", run_lp2, lowpass.init(2, (c,)), xs_i, samples=n,
-            iters=iters,
-        )
-    )
+    run_trials("lowpass2", jax.jit(lambda st, xs: lowpass.block(k2, st, xs)),
+               lowpass.init(2, (c,)), xs_i)
 
-    # --- WDF complementary allpass 7 (biquad.rs wdf-ca-7) ---
+    # ---- WDF complementary allpass 7 (biquad.rs wdf-ca-7) ----
     tp = wdf.nibbles(0xAD, 2)
     b0 = [
         (tp, jnp.asarray(wdf.quantize(tp, [-0.9, 0.9]))),
@@ -234,64 +314,172 @@ def main():
     ]
     b1 = [
         (tp, jnp.asarray(wdf.quantize(tp, [-0.7, 0.6]))),
-        (wdf.nibbles(0xA, 1), jnp.asarray(wdf.quantize(wdf.nibbles(0xA, 1), [0.8]))),
+        (wdf.nibbles(0xA, 1),
+         jnp.asarray(wdf.quantize(wdf.nibbles(0xA, 1), [0.8]))),
     ]
-    run_wdf = jax.jit(
-        lambda sts, xs: wdf.pair_block(b0, b1, sts, xs)
-    )
     wdf_states = (
         [wdf.init(2, (c,)), wdf.init(2, (c,))],
         [wdf.init(2, (c,)), wdf.init(1, (c,))],
     )
-    results.append(
-        bench_stateful(
-            "idsp wdf-ca-7", run_wdf, wdf_states, xs_i, samples=n, iters=iters
-        )
-    )
+    run_trials("wdf-ca-7 (scan)",
+               jax.jit(lambda sts, xs: wdf.pair_block(b0, b1, sts, xs)),
+               wdf_states, xs_i)
+    if c % 128 == 0:
+        from idsp_tpu.filters.wdf_pallas import wdf_pair_bank
 
-    # --- PLL bank ---
+        run_trials(
+            "wdf-ca-7 (pallas)",
+            lambda sts, xs: wdf_pair_bank(b0, b1, sts, xs, time_chunk=tc),
+            wdf_states, xs_i,
+        )
+
+    # ---- PLL bank ----
     pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))
-    run_pll = jax.jit(lambda st, xs: pll.block(pba, st, xs))
-    results.append(
-        bench_stateful(
-            "pll bank", run_pll, pll.init((c,)), phases, samples=n, iters=iters
-        )
-    )
+    run_trials("pll bank (scan)",
+               jax.jit(lambda st, xs: pll.block(pba, st, xs)),
+               pll.init((c,)), phases)
+    if c % 128 == 0:
+        from idsp_tpu.filters.pll_pallas import pll_bank
 
-    # --- HBF cascades (hbf.rs:29-54) ---
+        run_trials(
+            "pll bank (pallas)",
+            lambda st, xs: pll_bank(pba, st, xs, time_chunk=tc),
+            pll.init((c,)), phases,
+        )
+
+    # ---- FIR / HBF (hbf.rs:29-54) ----
     x_hbf = jnp.asarray(rng.normal(size=(c, t)).astype(np.float32))
-    run_dec = jax.jit(lambda st, x: hbf.hbf_dec_cascade(st, x))
-    results.append(
-        bench_stateful(
-            "hbf dec8 cascade", run_dec, hbf.hbf_dec_cascade_init(3, (c,)),
-            x_hbf, samples=n, iters=iters,
-        )
+    taps8 = jnp.asarray(
+        np.array([0.01, -0.05, 0.12, 0.44], np.float32)
+    )  # 8-tap even-symmetric (fir es-8 analog, biquad.rs bench)
+    run_trials(
+        "fir es-8 (block conv)",
+        jax.jit(
+            lambda st, x: hbf.fir_block(taps8, st, x, odd=False, sym=True)
+        ),
+        hbf.fir_init(4, False, (c,)), x_hbf,
     )
+    run_trials("hbf dec8 cascade",
+               jax.jit(lambda st, x: hbf.hbf_dec_cascade(st, x)),
+               hbf.hbf_dec_cascade_init(3, (c,)), x_hbf)
     x_hbf_lo = jnp.asarray(rng.normal(size=(c, t // 8)).astype(np.float32))
-    run_int = jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x))
-    results.append(
-        bench_stateful(
-            "hbf int8 cascade", run_int, hbf.hbf_int_cascade_init(3, (c,)),
-            x_hbf_lo, samples=n, iters=iters,
-        )
-    )
+    run_trials("hbf int8 cascade",
+               jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x)),
+               hbf.hbf_int_cascade_init(3, (c,)), x_hbf_lo)
 
-    # --- CIC (cic.rs:400-422) ---
-    run_cic_d = jax.jit(lambda st, x: cic.decimate_block(st, x, 15))
+    # ---- CIC (cic.rs:400-422) ----
     x_cic = jnp.asarray(
-        rng.integers(-(2**16), 2**16, size=(c, t), dtype=np.int64).astype(np.int32)
-    )
-    results.append(
-        bench_stateful(
-            "cic dec N=3 R=16", run_cic_d, cic.init(3, 1, (c,)), x_cic,
-            samples=n, iters=iters,
+        rng.integers(-(2**16), 2**16, size=(c, t), dtype=np.int64).astype(
+            np.int32
         )
     )
+    run_trials("cic dec N=3 R=16",
+               jax.jit(lambda st, x: cic.decimate_block(st, x, 15)),
+               cic.init(3, 1, (c,)), x_cic)
+    x_cic_lo = jnp.asarray(
+        rng.integers(-(2**10), 2**10, size=(c, t // 16),
+                     dtype=np.int64).astype(np.int32)
+    )
+    run_trials("cic int N=3 R=16",
+               jax.jit(lambda st, x: cic.interpolate_block(st, x, 15)),
+               cic.init(3, 1, (c,)), x_cic_lo)
 
-    print(f"# device: {jax.devices()[0]}  channels={c} block={t} roundtrip={rt*1e3:.1f}ms (subtracted)")
-    for r in results:
-        print(r.row())
-    return results
+    dev = jax.devices()[0]
+    header = (
+        f"# device: {dev}  channels={c} block={t} iters={iters}"
+        f" trials={trials} roundtrip={rt * 1e3:.1f}ms (subtracted)"
+    )
+    print(header)
+    for r in rows:
+        print(r.line())
+
+    if args.write_md:
+        write_md(rows, dev, c, t, iters, trials, rt)
+    return rows
+
+
+def write_md(rows, dev, c, t, iters, trials, rt):
+    import datetime
+    import os
+
+    by = {r.name: r for r in rows}
+
+    def gs(name):
+        r = by.get(name)
+        if r is None:
+            return "—", "—"
+        spread = (r.hi - r.lo) / r.median * 100 if r.median else 0.0
+        return f"{r.median / 1e9:.2f} GS/s", f"{spread:.1f}%"
+
+    lines = [
+        "# Benchmark results",
+        "",
+        f"Generated by `python benches/suite.py --write-md` — canonical",
+        f"config: {c} channels x {t}-sample blocks, {iters} chained",
+        f"dispatches/trial, median of {trials} trials (min/max spread in",
+        "brackets).  Fixed dispatch+readback round trip"
+        f" ({rt * 1e3:.1f} ms) measured and subtracted.",
+        "",
+        f"Hardware: {dev}.",
+        "",
+        "| Config | median | spread | Reference baseline (BASELINE.md) |",
+        "|---|---|---|---|",
+    ]
+    baselines = {
+        "cossin slice": "23.5 cyc/call M7",
+        "atan2 slice": "52 cyc/call M7",
+        "q32<29> df1 (scan)": "8.68 cyc/smp M7; >200 MS/s/SOS Skylake",
+        "q32<29> df1 (pallas)": "same",
+        "q32<29> df1 (pallas dyncoef)": "same (runtime retune)",
+        "q16<13> df1 (scan)": "7.94 cyc/smp M7",
+        "q64<61> df1 (scan, emulated i128)": "136.9 cyc/smp M7",
+        "q32 wide (scan)": "22.1 cyc/smp M7",
+        "q32 wide (pallas)": "same",
+        "q32 dither (scan)": "11.1 cyc/smp M7",
+        "q32 dither (pallas)": "same",
+        "q32 clamp (scan)": "16.1 cyc/smp M7",
+        "q32 clamp (pallas)": "same",
+        "q32 clamp+wide (pallas)": "64.0 cyc/smp M7",
+        "q32 clamp+dither (pallas)": "39.0 cyc/smp M7",
+        "f32 df1 (scan)": "13.7 cyc/smp M7",
+        "f32 df2t (scan)": "11.9 cyc/smp M7",
+        "f32 df1 (pallas)": "—",
+        "f32 df1 (assoc block)": "—",
+        "f64 df1 (scan)": "44.4 cyc/smp M7",
+        "q32 cascade4 (scan)": "~20 cyc/smp/SOS Skylake",
+        "q32 cascade4 (pallas)": "same",
+        "lowpass1": "see biquad.rs:186-189",
+        "lowpass2": "see biquad.rs:186-189",
+        "wdf-ca-7 (scan)": "25.1 cyc/smp M7",
+        "wdf-ca-7 (pallas)": "same",
+        "pll bank (scan)": "per-sample loop",
+        "pll bank (pallas)": "same",
+        "fir es-8 (block conv)": "115.5 cyc/smp M7",
+        "hbf dec8 cascade": ">2 GS/s/core Skylake",
+        "hbf int8 cascade": "476.7 cyc/smp M7",
+        "cic dec N=3 R=16": "2.84 cyc/smp pinned x86",
+        "cic int N=3 R=16": "1.22 cyc/smp pinned x86",
+    }
+    for r in rows:
+        med, spread = gs(r.name)
+        lines.append(
+            f"| {r.name} | {med} | {spread} |"
+            f" {baselines.get(r.name, '—')} |"
+        )
+    lines += [
+        "",
+        f"_Run date: {datetime.date.today().isoformat()}._",
+        "",
+        "## Raw rows",
+        "",
+        "```",
+    ]
+    lines += [r.line() for r in rows]
+    lines.append("```")
+    path = os.path.join(os.path.dirname(__file__), "RESULTS.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -487,3 +487,471 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
         y=jnp.stack([st_out[2], st_out[3]], axis=-1),
     )
     return new_state, ys.reshape(t, c)
+
+
+# --- shared plumbing for the bank-kernel family ------------------------------
+#
+# Every bank kernel below has the same shape: a (rows, cs, 128) packed
+# state held in VMEM scratch across sequential grid steps, a (t, cs, 128)
+# input walked in time chunks, the same-shape output, and the final state
+# written on the last grid step.  `_bank_call` owns the BlockSpec / VMEM
+# budget boilerplate; kernels only provide the per-chunk body.
+
+
+def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
+               out_dtype=None, donate=True):
+    """Run a sequential time-loop bank kernel.
+
+    Kernel signature: ``(extra_refs..., st_in_ref, x_ref, y_ref,
+    out_state_ref, state_scratch_ref)``.
+
+    Args:
+      st_in: (rows, cs, 128) packed initial state.
+      xs3: (t, cs, 128) input, t divisible into VMEM-sized chunks.
+      extra_in: additional (r_i, cs, 128) VMEM-resident inputs (e.g.
+        runtime coefficient planes) placed before the state input.
+    Returns (ys (t, cs, 128), st_out (rows, cs, 128)).
+    """
+    t, cs, _ = xs3.shape
+    c = cs * 128
+    rows = st_in.shape[0]
+    out_dtype = out_dtype or xs3.dtype
+    vmem_cap = max(8, (12 * 2**20) // (16 * c))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk:
+        time_chunk //= 2
+    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
+    grid = (t // time_chunk,)
+
+    def fixed(r):
+        # Index maps derive the 0s from the i32 program index: bare
+        # Python 0 constants trace as i64 under x64 and fail Mosaic
+        # legalization.
+        return pl.BlockSpec(
+            (r, cs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    walk = pl.BlockSpec(
+        (time_chunk, cs, 128), lambda i: (i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    n_extra = len(extra_in)
+    aliases = {}
+    if donate and xs3.dtype == out_dtype:
+        aliases = {n_extra + 1: 0}
+    ys, st_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[fixed(e.shape[0]) for e in extra_in] + [fixed(rows), walk],
+        out_specs=[walk, fixed(rows)],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, cs, 128), out_dtype),
+            jax.ShapeDtypeStruct((rows, cs, 128), st_in.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, cs, 128), st_in.dtype)],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*extra_in, st_in, xs3)
+    return ys, st_out
+
+
+def _seq_bank_kernel(body):
+    """Wrap a per-chunk ``body(carry, x_row, extra_rows) -> (carry, y)``
+    into the standard sequential bank kernel (state in scratch across
+    grid steps, packed single-array carry, i32 fori bounds)."""
+
+    def kernel(*refs):
+        *extra_refs, st_in_ref, x_ref, y_ref, out_state_ref, state_ref = refs
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+
+        extras = tuple(r[...] for r in extra_refs)
+        tc = x_ref.shape[0]
+
+        def step(i, carry):
+            carry, y = body(carry, x_ref[i], extras)
+            y_ref[i] = y
+            return carry
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+
+    return kernel
+
+
+# --- emulated-i64 helpers beyond the MAC -------------------------------------
+
+
+def _as_u32(x):
+    """Bit-pattern i32 -> u32 (XLA same-width int convert wraps mod 2^32)."""
+    return x.astype(jnp.uint32)
+
+
+def _as_i32(x):
+    return x.astype(jnp.int32)
+
+
+def _mul_u32_i32_to_i64(u, a):
+    """Exact 64-bit product of u32 ``u`` and i32 ``a`` as (hi i32, lo u32).
+
+    Mirrors `_mul_i32_i32_to_i64` with an unsigned first operand — used
+    for the reference's split-word wide-state multiplies
+    (biquad.rs:464-467, pll.rs:99-102: ``(y_lo as u32 as i64 * a) >> 32``).
+    """
+    uh = (u >> 16).astype(jnp.int32)  # < 2^16, logical shift on u32
+    ul = u & 0xFFFF
+    ah = a >> 16  # sign-carrying
+    al = (a & 0xFFFF).astype(jnp.uint32)
+
+    ll = ul * al  # u32 exact
+    lh = ul.astype(jnp.int32) * ah  # |.| < 2^31, exact i32
+    hl = uh.astype(jnp.uint32) * al  # < 2^32, exact u32
+    hh = uh * ah  # |.| < 2^31
+
+    hi = hh
+    lo = ll
+    # signed mid-limb
+    new_lo = lo + (lh.astype(jnp.uint32) << 16)
+    hi = hi + (lh >> 16) + (new_lo < lo).astype(jnp.int32)
+    lo = new_lo
+    # unsigned mid-limb
+    new_lo = lo + (hl << 16)
+    hi = hi + (hl >> 16).astype(jnp.int32) + (new_lo < lo).astype(jnp.int32)
+    lo = new_lo
+    return hi, lo
+
+
+def _shl_i64(acc, s: int):
+    """(hi, lo) << s for static 0 <= s < 32."""
+    hi, lo = acc
+    if s == 0:
+        return hi, lo
+    return (hi << s) | (lo >> (32 - s)).astype(jnp.int32), lo << s
+
+
+def _sext32(v):
+    """Sign-extend an i32 into an emulated (hi, lo) i64 pair."""
+    return v >> 31, _as_u32(v)
+
+
+def _mac5_q(ba, x0, x1, x2, y1, y2):
+    """acc = b0*x0 + b1*x1 + b2*x2 + a1*y1 + a2*y2 as an emulated i64.
+
+    ``ba`` entries may be scalars (static coefficients) or (cs, 128)
+    planes (runtime / per-channel coefficients)."""
+
+    def coef(v):
+        return jnp.broadcast_to(jnp.asarray(v, jnp.int32), x0.shape)
+
+    acc = _mul_i32_i32_to_i64(coef(ba[0]), x0)
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[1]), x1))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[2]), x2))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[3]), y1))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[4]), y2))
+    return acc
+
+
+# --- clamped DF1 bank --------------------------------------------------------
+
+
+def df1_clamp_bank_q(ba, state: Df1State, xs, f: int = 29, *,
+                     u: int = 0, lo: int, hi: int,
+                     time_chunk: int = 256, interpret: bool = False):
+    """Fixed-point DF1 with summing-junction offset + output clamp
+    (anti-windup, biquad.rs:394-404) over a channel bank.
+
+    Bit-identical to scanning ``clamp_step(df1_step_q(...))``.
+    """
+    import numpy as _np
+
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _df1_clamp_bank_q_impl(
+        ba_static, state, xs, f, int(u), int(lo), int(hi),
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "u", "lo", "hi", "time_chunk",
+                     "interpret"),
+)
+def _df1_clamp_bank_q_impl(ba_static, state: Df1State, xs, f, u, lo, hi, *,
+                           time_chunk, interpret):
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+
+    def body(carry, x0, _extras):
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
+        return jnp.stack([x0, x1, y0, y1]), y0
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+    )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
+
+
+# --- wide (i64 feedback state) DF1 bank --------------------------------------
+
+
+def _split_i64_planes(y):
+    """(...,) i64 -> (hi i32, lo i32-bitcast) planes."""
+    hi = (y >> 32).astype(jnp.int32)
+    lo = (y & 0xFFFFFFFF).astype(jnp.uint32).astype(jnp.int32)
+    return hi, lo
+
+
+def _join_i64_planes(hi, lo):
+    return (hi.astype(jnp.int64) << 32) | lo.astype(jnp.uint32).astype(
+        jnp.int64
+    )
+
+
+def _wide_body(ba, f, clamp, carry, x0):
+    """One DF1-wide step (biquad.rs:456-480) on packed carry rows
+    [x1, x2, y0hi, y0lo, y1hi, y1lo]."""
+    x1, x2 = carry[0], carry[1]
+    y0hi, y0lo = carry[2], _as_u32(carry[3])
+    y1hi, y1lo = carry[4], _as_u32(carry[5])
+    b0, b1, b2, a1, a2 = (jnp.int32(v) for v in ba)
+
+    acc = _mul_i32_i32_to_i64(jnp.full_like(x0, b0), x0)
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b1), x1))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b2), x2))
+    # split-word a*y: ((y_lo as u64 * a) >> 32) + y_hi * a — the >>32 of
+    # the u32*i32 product is exactly its high word, which fits in i32.
+    s0, _ = _mul_u32_i32_to_i64(y0lo, jnp.full_like(x0, a1))
+    acc = _add_i64(acc, _sext32(s0))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, a1), y0hi))
+    s1, _ = _mul_u32_i32_to_i64(y1lo, jnp.full_like(x0, a2))
+    acc = _add_i64(acc, _sext32(s1))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, a2), y1hi))
+    acc = _shl_i64(acc, 32 - f)
+    y0 = acc[0]
+    new_y0hi, new_y0lo = acc[0], acc[1]
+    if clamp is not None:
+        u, lo, hi = (jnp.int32(v) for v in clamp)
+        y0 = jnp.clip(y0 + u, lo, hi)
+        new_y0hi = y0  # clamped output replaces the high word
+    return (
+        jnp.stack([x0, x1, new_y0hi, _as_i32(new_y0lo), y0hi,
+                   _as_i32(y0lo)]),
+        y0,
+    )
+
+
+def df1_wide_bank(ba, state, xs, f: int = 29, *, clamp=None,
+                  time_chunk: int = 256, interpret: bool = False):
+    """Wide-state (i64 feedback) DF1 bank, Pallas fast path
+    (biquad.rs:456-472; clamp variant :474-480).
+
+    Args:
+      state: Df1WideState (x (c,2) i32, y (c,2) i64).
+      clamp: optional static (u, lo, hi) ints for the clamped variant.
+
+    Bit-identical to scanning `df1_wide_step` / `df1_wide_clamp_step`.
+    """
+    import numpy as _np
+
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    clamp_static = None if clamp is None else tuple(int(v) for v in clamp)
+    return _df1_wide_bank_impl(
+        ba_static, state, xs, f, clamp_static,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "clamp", "time_chunk", "interpret"),
+)
+def _df1_wide_bank_impl(ba_static, state, xs, f, clamp, *, time_chunk,
+                        interpret):
+    from .biquad import Df1WideState
+
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    y0hi, y0lo = _split_i64_planes(state.y[..., 0])
+    y1hi, y1lo = _split_i64_planes(state.y[..., 1])
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], y0hi, y0lo, y1hi, y1lo], axis=0
+    ).reshape(6, cs, 128)
+
+    def body(carry, x0, _extras):
+        return _wide_body(ba_static, f, clamp, carry, x0)
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+    )
+    st_out = st_out.reshape(6, c)
+    new_state = Df1WideState(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack(
+            [_join_i64_planes(st_out[2], st_out[3]),
+             _join_i64_planes(st_out[4], st_out[5])],
+            axis=-1,
+        ),
+    )
+    return new_state, ys.reshape(t, c)
+
+
+# --- dither (error-feedback) DF1 bank ----------------------------------------
+
+
+def _dither_body(ba, f, clamp, carry, x0):
+    """One DF1-dither step (biquad.rs:511-538) on packed carry rows
+    [x1, x2, y1, y2, e]."""
+    x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+    e = _as_u32(carry[4])
+    acc = _mac5_q(ba, x0, x1, x2, y1, y2)
+    acc = _add_i64(acc, (jnp.zeros_like(acc[0]), e))
+    acc = _shl_i64(acc, 32 - f)
+    e_new = acc[1] >> (32 - f) if f != 32 else acc[1]
+    y0 = acc[0]
+    if clamp is not None:
+        u, lo, hi = (jnp.int32(v) for v in clamp)
+        y0 = jnp.clip(y0 + u, lo, hi)
+    return jnp.stack([x0, x1, y0, y1, _as_i32(e_new)]), y0
+
+
+def df1_dither_bank(ba, state, xs, f: int = 29, *, clamp=None,
+                    time_chunk: int = 256, interpret: bool = False):
+    """Error-feedback (noise-shaping) DF1 bank, Pallas fast path
+    (biquad.rs:511-530; clamp variant :532-538).
+
+    Args:
+      state: Df1DitherState (xy Df1State i32, e (c,) u32).
+      clamp: optional static (u, lo, hi) ints.
+
+    Bit-identical to scanning `df1_dither_step` / `df1_dither_clamp_step`.
+    """
+    import numpy as _np
+
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    clamp_static = None if clamp is None else tuple(int(v) for v in clamp)
+    return _df1_dither_bank_impl(
+        ba_static, state, xs, f, clamp_static,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "clamp", "time_chunk", "interpret"),
+)
+def _df1_dither_bank_impl(ba_static, state, xs, f, clamp, *, time_chunk,
+                          interpret):
+    from .biquad import Df1DitherState
+
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    xy = state.xy
+    st_in = jnp.stack(
+        [xy.x[..., 0], xy.x[..., 1], xy.y[..., 0], xy.y[..., 1],
+         _as_i32(state.e)],
+        axis=0,
+    ).reshape(5, cs, 128)
+
+    def body(carry, x0, _extras):
+        return _dither_body(ba_static, f, clamp, carry, x0)
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+    )
+    st_out = st_out.reshape(5, c)
+    new_state = Df1DitherState(
+        xy=Df1State(
+            x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+            y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+        ),
+        e=_as_u32(st_out[4]),
+    )
+    return new_state, ys.reshape(t, c)
+
+
+# --- runtime-coefficient DF1 bank (retune without recompile) -----------------
+
+
+def df1_bank_q_coef(ba_planes, state: Df1State, xs, f: int = 29, *,
+                    time_chunk: int = 256, interpret: bool = False):
+    """DF1 bank with *runtime* coefficients: retune never recompiles.
+
+    Coefficients arrive as traced data — a (5,) vector (shared across
+    channels, the reference's atomic-swap property, biquad.rs:34-36 /
+    config.rs:347-434) or a (5, c) array (per-channel filters, beyond
+    the reference) — staged into (5, c/128, 128) VMEM planes read once
+    per time chunk.  Same emulated-i64 semantics as `df1_bank_q`;
+    bit-identical to it and to the scan path.
+    """
+    t, c = xs.shape
+    ba_planes = jnp.asarray(ba_planes, jnp.int32)
+    if ba_planes.ndim == 1:
+        ba_planes = jnp.broadcast_to(ba_planes[:, None], (5, c))
+    return _df1_bank_q_coef_impl(
+        ba_planes, state, xs, f, time_chunk=time_chunk, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "time_chunk", "interpret")
+)
+def _df1_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, *, time_chunk,
+                          interpret):
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+
+    def body(carry, x0, extras):
+        (ba,) = extras
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_q(
+            (ba[0], ba[1], ba[2], ba[3], ba[4]), x0, x1, x2, y1, y2
+        )
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        return jnp.stack([x0, x1, y0, y1]), y0
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+        extra_in=(ba_planes.reshape(5, cs, 128),),
+    )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)

@@ -179,3 +179,104 @@ def _wdf_bank_impl(tpas, coeffs, state: WdfState, xs, *, time_chunk,
         z=jnp.moveaxis(st_out.reshape(n, c), 0, -1)
     )
     return new_state, ys.reshape(t, c)
+
+
+# --- serial stage chains and complementary pairs -----------------------------
+
+
+def _chain_body(stages, carry, x0):
+    """Serial WDF stages in one step (wdf.chain_block semantics): the
+    output of stage s feeds stage s+1; state rows are the concatenated
+    per-stage z vectors."""
+    rows_out = []
+    cur = x0
+    base = 0
+    for tpas, coeffs in stages:
+        n = len(tpas)
+        stage_rows = [None] * n
+        y_out = None
+        for j in range(n):
+            w, nxt = _adapt_static(tpas[j], cur, carry[base + j], coeffs[j])
+            if j == 0:
+                y_out = w
+            else:
+                stage_rows[j - 1] = w
+            cur = nxt
+        stage_rows[n - 1] = cur
+        rows_out.extend(stage_rows)
+        base += n
+        cur = y_out
+    return jnp.stack(rows_out), cur
+
+
+def wdf_chain_bank(stages, states, xs, *, time_chunk: int = 256,
+                   interpret: bool = False):
+    """Serial chain of WDF adapter chains in ONE Pallas pass
+    (`wdf.chain_block` fast path).
+
+    Args:
+      stages: list of (tpas, a) with static adapter types/coefficients.
+      states: list of WdfState, z shape (c, n_i).
+      xs: (t, c) i32.
+
+    Returns (new_states, ys) bit-identical to `wdf.chain_block`.
+    """
+    import numpy as _np
+
+    stages_static = tuple(
+        (tuple(Tpa(t) for t in tpas),
+         tuple(int(v) for v in _np.asarray(a).reshape(-1)))
+        for tpas, a in stages
+    )
+    return _wdf_chain_bank_impl(
+        stages_static, tuple(states), xs, time_chunk=time_chunk,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stages", "time_chunk", "interpret")
+)
+def _wdf_chain_bank_impl(stages, states, xs, *, time_chunk, interpret):
+    from .biquad_pallas import _bank_call, _seq_bank_kernel
+
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    orders = [len(tpas) for tpas, _ in stages]
+    st_in = jnp.concatenate(
+        [jnp.moveaxis(s.z, -1, 0) for s in states], axis=0
+    ).reshape(sum(orders), cs, 128)
+
+    def body(carry, x0, _extras):
+        return _chain_body(stages, carry, x0)
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+    )
+    st_out = st_out.reshape(sum(orders), c)
+    new_states = []
+    base = 0
+    for n in orders:
+        new_states.append(
+            WdfState(z=jnp.moveaxis(st_out[base:base + n], 0, -1))
+        )
+        base += n
+    return new_states, ys.reshape(t, c)
+
+
+def wdf_pair_bank(branch0, branch1, states, xs, *, time_chunk: int = 256,
+                  interpret: bool = False):
+    """Complementary allpass pair (`wdf.pair_block` fast path): both
+    branches through Pallas chain kernels, butterfly outside (XLA fuses
+    the elementwise sum/difference).
+
+    Returns ((s0, s1), (sum, diff)) bit-identical to `wdf.pair_block`.
+    """
+    s0, s1 = states
+    s0, y0 = wdf_chain_bank(branch0, s0, xs, time_chunk=time_chunk,
+                            interpret=interpret)
+    s1, y1 = wdf_chain_bank(branch1, s1, xs, time_chunk=time_chunk,
+                            interpret=interpret)
+    return (s0, s1), (y0 + y1, y0 - y1)

@@ -26,7 +26,7 @@ def _lib() -> ctypes.CDLL:
     so = os.path.join(_NATIVE_DIR, "libgolden.so")
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", "-o", so, src, "-lm"],
+            ["cc", "-O2", "-fwrapv", "-shared", "-fPIC", "-o", so, src, "-lm"],
             check=True,
         )
     lib = ctypes.CDLL(so)
@@ -45,6 +45,18 @@ def _lib() -> ctypes.CDLL:
         i32p, ctypes.c_int, i32p, u32p, i32p, i32p, ctypes.c_int64,
     ]
     lib.golden_q_mul.argtypes = [i32p, i32p, ctypes.c_int, i32p, ctypes.c_int64]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.golden_biquad_df1_clamp.argtypes = [
+        i32p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p, ctypes.c_int64,
+    ]
+    lib.golden_biquad_df1_q16.argtypes = [
+        i16p, ctypes.c_int, i16p, i16p, i16p, ctypes.c_int64,
+    ]
+    lib.golden_biquad_df1_q64.argtypes = [
+        i64p, ctypes.c_int, i64p, i64p, i64p, ctypes.c_int64,
+    ]
+    lib.golden_pll.argtypes = [i32p, i32p, i64p, i32p, i32p, ctypes.c_int64]
     return lib
 
 
@@ -113,3 +125,60 @@ def q_mul(a, b, f):
     out = np.empty_like(a)
     _lib().golden_q_mul(_ptr(a), _ptr(b), f, _ptr(out), a.size)
     return out
+
+
+def biquad_df1_clamp(ba, f, u, lo, hi, state, x):
+    """Clamped DF1 (biquad.rs:394-404); state int32[4] mutated in place."""
+    ba = _as_i32(ba)
+    state = _as_i32(state)
+    x = _as_i32(x)
+    y = np.empty_like(x)
+    _lib().golden_biquad_df1_clamp(
+        _ptr(ba), f, int(u), int(lo), int(hi), _ptr(state), _ptr(x),
+        _ptr(y), x.size,
+    )
+    return state, y
+
+
+def biquad_df1_q16(ba, f, state, x):
+    """Q16<13>-class DF1: i16 storage, i32 accumulator."""
+    ba = np.ascontiguousarray(ba, dtype=np.int16)
+    state = np.ascontiguousarray(state, dtype=np.int16)
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    y = np.empty_like(x)
+    _lib().golden_biquad_df1_q16(
+        _ptr(ba, ctypes.c_int16), f, _ptr(state, ctypes.c_int16),
+        _ptr(x, ctypes.c_int16), _ptr(y, ctypes.c_int16), x.size,
+    )
+    return state, y
+
+
+def biquad_df1_q64(ba, f, state, x):
+    """Q64<61>-class DF1: i64 storage, i128 accumulator."""
+    ba = np.ascontiguousarray(ba, dtype=np.int64)
+    state = np.ascontiguousarray(state, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.int64)
+    y = np.empty_like(x)
+    _lib().golden_biquad_df1_q64(
+        _ptr(ba, ctypes.c_int64), f, _ptr(state, ctypes.c_int64),
+        _ptr(x, ctypes.c_int64), _ptr(y, ctypes.c_int64), x.size,
+    )
+    return state, y
+
+
+def pll(ba, st32, st64, x):
+    """PLL update chain (pll.rs:90-107).
+
+    st32: int32[5] = [clamp_x0, clamp_state, z0, y0, y]; st64: int64[2]
+    = [f0, f]. Both mutated in place.
+    """
+    ba = _as_i32(ba)
+    st32 = _as_i32(st32)
+    st64 = np.ascontiguousarray(st64, dtype=np.int64)
+    x = _as_i32(x)
+    y = np.empty_like(x)
+    _lib().golden_pll(
+        _ptr(ba), _ptr(st32), _ptr(st64, ctypes.c_int64), _ptr(x), _ptr(y),
+        x.size,
+    )
+    return st32, st64, y

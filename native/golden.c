@@ -191,6 +191,94 @@ void golden_biquad_df1_dither(const int32_t ba[5], int f, int32_t *state,
     *e = err;
 }
 
+/* clamp: DF1 with offset + output clamp fed back (biquad.rs:394-404) */
+void golden_biquad_df1_clamp(const int32_t ba[5], int f, int32_t u,
+                             int32_t lo, int32_t hi, int32_t *state,
+                             const int32_t *x, int32_t *y, int64_t n) {
+    int32_t x1 = state[0], x2 = state[1], y1 = state[2], y2 = state[3];
+    for (int64_t k = 0; k < n; k++) {
+        int64_t acc = (int64_t)ba[0] * x[k] + (int64_t)ba[1] * x1 +
+                      (int64_t)ba[2] * x2 + (int64_t)ba[3] * y1 +
+                      (int64_t)ba[4] * y2;
+        int32_t y0 = (int32_t)(acc >> f) + u;
+        if (y0 < lo) y0 = lo;
+        if (y0 > hi) y0 = hi;
+        x2 = x1; x1 = x[k];
+        y2 = y1; y1 = y0;
+        y[k] = y0;
+    }
+    state[0] = x1; state[1] = x2; state[2] = y1; state[3] = y2;
+}
+
+/* Q16<13>: i16 storage, i32 accumulator (tests/embedded/README.md:62).
+ * The 5-product i32 sum can wrap; build with -fwrapv for two's
+ * complement semantics matching the release-mode reference. */
+void golden_biquad_df1_q16(const int16_t ba[5], int f, int16_t *state,
+                           const int16_t *x, int16_t *y, int64_t n) {
+    int16_t x1 = state[0], x2 = state[1], y1 = state[2], y2 = state[3];
+    for (int64_t k = 0; k < n; k++) {
+        int32_t acc = (int32_t)ba[0] * x[k] + (int32_t)ba[1] * x1 +
+                      (int32_t)ba[2] * x2 + (int32_t)ba[3] * y1 +
+                      (int32_t)ba[4] * y2;
+        int16_t y0 = (int16_t)(acc >> f);
+        x2 = x1; x1 = x[k];
+        y2 = y1; y1 = y0;
+        y[k] = y0;
+    }
+    state[0] = x1; state[1] = x2; state[2] = y1; state[3] = y2;
+}
+
+/* Q64<61>: i64 storage, i128 accumulator (tests/embedded/README.md:63). */
+void golden_biquad_df1_q64(const int64_t ba[5], int f, int64_t *state,
+                           const int64_t *x, int64_t *y, int64_t n) {
+    int64_t x1 = state[0], x2 = state[1], y1 = state[2], y2 = state[3];
+    for (int64_t k = 0; k < n; k++) {
+        __int128 acc = (__int128)ba[0] * x[k] + (__int128)ba[1] * x1 +
+                       (__int128)ba[2] * x2 + (__int128)ba[3] * y1 +
+                       (__int128)ba[4] * y2;
+        int64_t y0 = (int64_t)(acc >> f);
+        x2 = x1; x1 = x[k];
+        y2 = y1; y1 = y0;
+        y[k] = y0;
+    }
+    state[0] = x1; state[1] = x2; state[2] = y1; state[3] = y2;
+}
+
+/* ---------- PLL (pll.rs:90-107) ---------- */
+
+/* st32 = [clamp_x0, clamp_state, z0, y0, y]; st64 = [f0, f] */
+void golden_pll(const int32_t ba[3], int32_t *st32, int64_t *st64,
+                const int32_t *x, int32_t *y_out, int64_t n) {
+    int32_t cx0 = st32[0], ccl = st32[1], z0 = st32[2], y0 = st32[3],
+            y = st32[4];
+    int64_t f0 = st64[0], f = st64[1];
+    for (int64_t k = 0; k < n; k++) {
+        y = y + (int32_t)(f >> 32); /* NCO advance by frequency hi word */
+        int32_t xi = x[k] + y;
+        /* wrap-clamped phase error (unwrap.rs:73-80, 184-194) */
+        int32_t delta = xi - cx0;
+        int32_t wrap = (delta >= 0) - (xi >= cx0);
+        ccl += wrap;
+        if (ccl > 1) ccl = 1;
+        if (ccl < -1) ccl = -1;
+        int32_t ze = ccl < 0 ? INT32_MIN : (ccl > 0 ? INT32_MAX : xi);
+        cx0 = xi;
+        int32_t z0n = ze >> 1;
+        int32_t y0n = z0n + z0; /* Nyquist zero */
+        /* lead-lag with wide state + first-order noise shaping */
+        int64_t t = (int64_t)ba[0] * y0n + (int64_t)ba[1] * y0 +
+                    (int64_t)ba[2] * (int32_t)(f0 >> 32) +
+                    (((int64_t)(uint32_t)f0 * (int64_t)ba[2]) >> 32);
+        f0 += t;
+        f += f0; /* DC pole */
+        z0 = z0n;
+        y0 = y0n;
+        y_out[k] = y;
+    }
+    st32[0] = cx0; st32[1] = ccl; st32[2] = z0; st32[3] = y0; st32[4] = y;
+    st64[0] = f0; st64[1] = f;
+}
+
 /* ---------- Q-format multiply ---------- */
 
 void golden_q_mul(const int32_t *a, const int32_t *b, int f, int32_t *out,

@@ -1,0 +1,139 @@
+"""Validate every Pallas bank kernel on the real TPU chip (Mosaic path)
+against the scan references — bit-exact, small shapes.
+
+Run standalone (exits cleanly; never under a signal-killed wrapper —
+killing an in-flight TPU op wedges the axon tunnel).
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from idsp_tpu.design import Filter
+    from idsp_tpu.filters import biquad, pll
+    from idsp_tpu.filters import biquad_pallas as bp
+    from idsp_tpu.filters.pll_pallas import pll_bank
+
+    print("device:", jax.devices()[0], flush=True)
+    c, t = 128, 256
+    rng = np.random.default_rng(0)
+
+    def ri32(shape, lim=2**31):
+        return jnp.asarray(
+            rng.integers(-lim, lim, size=shape, dtype=np.int64).astype(
+                np.int32
+            )
+        )
+
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.1).lowpass()),
+            29,
+        )
+    )
+    xs = ri32((t, c))
+    ok = True
+
+    def check(name, got, want):
+        nonlocal ok
+        eq = np.array_equal(np.asarray(got), np.asarray(want))
+        print(f"{name:32s} {'OK' if eq else 'MISMATCH'}", flush=True)
+        ok = ok and eq
+
+    # clamp
+    st = biquad.df1_init((c,), jnp.int32)
+    u, lo, hi = 12345, -(2**28), 2**28
+    _, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.clamp_step(
+            biquad.df1_step_q(ba_q, 29, s, x),
+            jnp.int32(u), jnp.int32(lo), jnp.int32(hi),
+        ),
+        st, xs,
+    )
+    _, ys = bp.df1_clamp_bank_q(ba_q, st, xs, 29, u=u, lo=lo, hi=hi,
+                                time_chunk=128)
+    check("df1_clamp_bank_q", ys, ys_ref)
+
+    # wide
+    stw = biquad.Df1WideState(
+        x=ri32((c, 2)),
+        y=jnp.asarray(rng.integers(-(2**62), 2**62, size=(c, 2),
+                                   dtype=np.int64)),
+    )
+    stw_ref, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_wide_step(ba_q, 29, s, x), stw, xs
+    )
+    stw_pl, ys = bp.df1_wide_bank(ba_q, stw, xs, 29, time_chunk=128)
+    check("df1_wide_bank", ys, ys_ref)
+    check("df1_wide_bank state.y", stw_pl.y, stw_ref.y)
+
+    # wide + clamp
+    _, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_wide_clamp_step(
+            ba_q, 29, s, x, jnp.int32(-777), jnp.int32(-(2**27)),
+            jnp.int32(2**27)
+        ),
+        stw, xs,
+    )
+    _, ys = bp.df1_wide_bank(ba_q, stw, xs, 29,
+                             clamp=(-777, -(2**27), 2**27), time_chunk=128)
+    check("df1_wide_bank clamp", ys, ys_ref)
+
+    # dither
+    std = biquad.Df1DitherState(
+        xy=biquad.Df1State(x=ri32((c, 2)), y=ri32((c, 2))),
+        e=jnp.asarray(
+            rng.integers(0, 2**32, size=(c,), dtype=np.uint64).astype(
+                np.uint32
+            )
+        ),
+    )
+    std_ref, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_dither_step(ba_q, 29, s, x), std, xs
+    )
+    std_pl, ys = bp.df1_dither_bank(ba_q, std, xs, 29, time_chunk=128)
+    check("df1_dither_bank", ys, ys_ref)
+    check("df1_dither_bank state.e", std_pl.e, std_ref.e)
+
+    # runtime-coefficient kernel + no-recompile swap
+    st = biquad.Df1State(x=ri32((c, 2)), y=ri32((c, 2)))
+    _, ys_ref = biquad.df1_process_q(ba_q, 29, st, xs)
+    _, ys = bp.df1_bank_q_coef(ba_q, st, xs, 29, time_chunk=128)
+    check("df1_bank_q_coef", ys, ys_ref)
+    n0 = bp._df1_bank_q_coef_impl._cache_size()
+    ba2 = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.2).lowpass()),
+            29,
+        )
+    )
+    _, ys2 = bp.df1_bank_q_coef(ba2, st, xs, 29, time_chunk=128)
+    n1 = bp._df1_bank_q_coef_impl._cache_size()
+    _, ys2_ref = biquad.df1_process_q(ba2, 29, st, xs)
+    check("df1_bank_q_coef retune", ys2, ys2_ref)
+    print(f"retune recompiled: {n1 != n0}", flush=True)
+    ok = ok and (n1 == n0)
+
+    # PLL
+    stp = pll.init((c,))
+    pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))
+    stp_ref, ys_ref = pll.block(pba, stp, xs)
+    stp_pl, ys = pll_bank(pba, stp, xs, time_chunk=128)
+    check("pll_bank", ys, ys_ref)
+    check("pll_bank state.f", stp_pl.f, stp_ref.f)
+
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,6 +114,257 @@ def test_pallas_f32_bank_matches_scan():
     np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
 
 
+def _rand_i32(rng, shape, lim=2**31):
+    return jnp.asarray(
+        rng.integers(-lim, lim, size=shape, dtype=np.int64).astype(np.int32)
+    )
+
+
+def _ba_q(fc=0.1, f=29):
+    return jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(fc).lowpass()), f
+        )
+    )
+
+
+def test_pallas_clamp_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import df1_clamp_bank_q
+
+    c, t = 128, 512
+    rng = np.random.default_rng(11)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.Df1State(x=_rand_i32(rng, (c, 2)), y=_rand_i32(rng, (c, 2)))
+    u, lo, hi = 12345, -(2**28), 2**28
+
+    def step(s, x):
+        return biquad.clamp_step(
+            biquad.df1_step_q(ba_q, 29, s, x),
+            jnp.int32(u), jnp.int32(lo), jnp.int32(hi),
+        )
+
+    st_ref, ys_ref = jax.lax.scan(step, st, xs)
+    st_pl, ys_pl = df1_clamp_bank_q(
+        ba_q, st, xs, 29, u=u, lo=lo, hi=hi, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.x), np.asarray(st_ref.x))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+
+def test_pallas_wide_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import df1_wide_bank
+
+    c, t = 128, 512
+    rng = np.random.default_rng(12)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.Df1WideState(
+        x=_rand_i32(rng, (c, 2)),
+        y=jnp.asarray(
+            rng.integers(-(2**62), 2**62, size=(c, 2), dtype=np.int64)
+        ),
+    )
+    st_ref, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_wide_step(ba_q, 29, s, x), st, xs
+    )
+    st_pl, ys_pl = df1_wide_bank(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.x), np.asarray(st_ref.x))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+
+def test_pallas_wide_clamp_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import df1_wide_bank
+
+    c, t = 128, 256
+    rng = np.random.default_rng(13)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.df1_wide_init((c,))
+    u, lo, hi = -777, -(2**27), 2**27
+    st_ref, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_wide_clamp_step(
+            ba_q, 29, s, x, jnp.int32(u), jnp.int32(lo), jnp.int32(hi)
+        ),
+        st, xs,
+    )
+    st_pl, ys_pl = df1_wide_bank(
+        ba_q, st, xs, 29, clamp=(u, lo, hi), time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+
+def test_pallas_dither_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import df1_dither_bank
+
+    c, t = 128, 512
+    rng = np.random.default_rng(14)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.Df1DitherState(
+        xy=biquad.Df1State(
+            x=_rand_i32(rng, (c, 2)), y=_rand_i32(rng, (c, 2))
+        ),
+        e=jnp.asarray(
+            rng.integers(0, 2**32, size=(c,), dtype=np.uint64).astype(
+                np.uint32
+            )
+        ),
+    )
+    st_ref, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_dither_step(ba_q, 29, s, x), st, xs
+    )
+    st_pl, ys_pl = df1_dither_bank(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(
+        np.asarray(st_pl.xy.y), np.asarray(st_ref.xy.y)
+    )
+    np.testing.assert_array_equal(np.asarray(st_pl.e), np.asarray(st_ref.e))
+
+
+def test_pallas_dither_clamp_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import df1_dither_bank
+
+    c, t = 128, 256
+    rng = np.random.default_rng(15)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.df1_dither_init((c,))
+    u, lo, hi = 99, -(2**26), 2**26
+    st_ref, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_dither_clamp_step(
+            ba_q, 29, s, x, jnp.int32(u), jnp.int32(lo), jnp.int32(hi)
+        ),
+        st, xs,
+    )
+    st_pl, ys_pl = df1_dither_bank(
+        ba_q, st, xs, 29, clamp=(u, lo, hi), time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.e), np.asarray(st_ref.e))
+
+
+def test_pallas_coef_bank_bitexact_and_per_channel():
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q_coef
+
+    c, t = 128, 256
+    rng = np.random.default_rng(16)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.Df1State(x=_rand_i32(rng, (c, 2)), y=_rand_i32(rng, (c, 2)))
+
+    # shared coefficients: must match the static-coefficient kernel
+    st_ref, ys_ref = biquad.df1_process_q(ba_q, 29, st, xs)
+    st_pl, ys_pl = df1_bank_q_coef(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+    # per-channel coefficients (beyond the reference): match a vmapped scan
+    ba_pc = jnp.stack(
+        [
+            jnp.asarray(
+                biquad.quantize_ba(
+                    biquad.from_cookbook(
+                        Filter().critical_frequency(fc).lowpass()
+                    ),
+                    29,
+                )
+            )
+            for fc in np.linspace(0.02, 0.3, c)
+        ],
+        axis=1,
+    )  # (5, c)
+    st_ref2, ys_ref2 = biquad.df1_process_q(
+        jnp.moveaxis(ba_pc, 0, -1), 29, st, xs
+    )
+    st_pl2, ys_pl2 = df1_bank_q_coef(
+        ba_pc, st, xs, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl2), np.asarray(ys_ref2))
+    np.testing.assert_array_equal(np.asarray(st_pl2.y), np.asarray(st_ref2.y))
+
+
+def test_pallas_coef_bank_retune_no_recompile():
+    """Swapping coefficients between blocks must not retrace/recompile
+    (the DF1 atomic-swap property, biquad.rs:34-36) and the state must
+    carry continuously across the swap."""
+    from idsp_tpu.filters import biquad_pallas as bp
+
+    c, t = 128, 128
+    rng = np.random.default_rng(17)
+    xs1 = _rand_i32(rng, (t, c))
+    xs2 = _rand_i32(rng, (t, c))
+    ba_a = _ba_q(0.05)
+    ba_b = _ba_q(0.2)
+    st = biquad.df1_init((c,), jnp.int32)
+
+    n0 = bp._df1_bank_q_coef_impl._cache_size()
+    st1, _ = bp.df1_bank_q_coef(ba_a, st, xs1, 29, time_chunk=64,
+                                interpret=True)
+    n1 = bp._df1_bank_q_coef_impl._cache_size()
+    st2, ys2 = bp.df1_bank_q_coef(ba_b, st1, xs2, 29, time_chunk=64,
+                                  interpret=True)
+    n2 = bp._df1_bank_q_coef_impl._cache_size()
+    assert n1 == n0 + 1 and n2 == n1, "coefficient swap recompiled"
+
+    # continuity: same as scanning with ba_a then ba_b
+    st1_ref, _ = biquad.df1_process_q(ba_a, 29, st, xs1)
+    _, ys2_ref = biquad.df1_process_q(ba_b, 29, st1_ref, xs2)
+    np.testing.assert_array_equal(np.asarray(ys2), np.asarray(ys2_ref))
+
+
+def test_pallas_pll_bank_bitexact():
+    from idsp_tpu.filters import pll
+    from idsp_tpu.filters.pll_pallas import pll_bank
+
+    c, t = 128, 512
+    rng = np.random.default_rng(18)
+    pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))
+    xs = _rand_i32(rng, (t, c))
+    st = pll.init((c,))
+
+    st_ref, ys_ref = pll.block(pba, st, xs)
+    st_pl, ys_pl = pll_bank(pba, st, xs, time_chunk=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    for a, b in zip(jax.tree.leaves(st_pl), jax.tree.leaves(st_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_pll_bank_converges_from_nonzero_state():
+    """Chained blocks through the kernel track a frequency ramp exactly
+    like the scan (state handoff across pallas_call boundaries)."""
+    from idsp_tpu.filters import pll
+    from idsp_tpu.filters.pll_pallas import pll_bank
+
+    c, t = 128, 256
+    pba = jnp.asarray(pll.coefficients_from_bandwidth(5e-2, 4.0))
+    step = np.int64(0x8765437) .astype(np.int32)
+    phases = (
+        (np.arange(1, 2 * t + 1, dtype=np.int64) * step) & 0xFFFFFFFF
+    ).astype(np.int64)
+    phases = np.where(phases >= 2**31, phases - 2**32, phases).astype(
+        np.int32
+    )
+    xs = jnp.asarray(np.tile(phases[:, None], (1, c)))
+
+    st_ref, st_pl = pll.init((c,)), pll.init((c,))
+    st_ref, ys_ref = pll.block(pba, st_ref, xs[:t])
+    st_ref, ys_ref2 = pll.block(pba, st_ref, xs[t:])
+    st_pl, ys_pl = pll_bank(pba, st_pl, xs[:t], time_chunk=64, interpret=True)
+    st_pl, ys_pl2 = pll_bank(pba, st_pl, xs[t:], time_chunk=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ys_pl2), np.asarray(ys_ref2))
+    np.testing.assert_array_equal(np.asarray(st_pl.f), np.asarray(st_ref.f))
+
+
 def test_pallas_wdf_bank_bitexact():
     from idsp_tpu.filters import wdf
     from idsp_tpu.filters.wdf_pallas import wdf_bank
@@ -132,3 +383,35 @@ def test_pallas_wdf_bank_bitexact():
     st_pl, ys_pl = wdf_bank(tpas, a, st, xs, time_chunk=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
     np.testing.assert_array_equal(np.asarray(st_pl.z), np.asarray(st_ref.z))
+
+
+def test_pallas_wdf_pair_bank_bitexact():
+    from idsp_tpu.filters import wdf
+    from idsp_tpu.filters.wdf_pallas import wdf_pair_bank
+
+    c, t = 128, 256
+    rng = np.random.default_rng(19)
+    tp = wdf.nibbles(0xAD, 2)
+    b0 = [
+        (tp, jnp.asarray(wdf.quantize(tp, [-0.9, 0.9]))),
+        (tp, jnp.asarray(wdf.quantize(tp, [-0.6, 0.7]))),
+    ]
+    b1 = [
+        (tp, jnp.asarray(wdf.quantize(tp, [-0.7, 0.6]))),
+        (wdf.nibbles(0xA, 1),
+         jnp.asarray(wdf.quantize(wdf.nibbles(0xA, 1), [0.8]))),
+    ]
+    xs = _rand_i32(rng, (t, c), lim=2**24)
+    sts = (
+        [wdf.init(2, (c,)), wdf.init(2, (c,))],
+        [wdf.init(2, (c,)), wdf.init(1, (c,))],
+    )
+    sts_ref, (lo_ref, hi_ref) = wdf.pair_block(b0, b1, sts, xs)
+    sts_pl, (lo_pl, hi_pl) = wdf_pair_bank(
+        b0, b1, sts, xs, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(lo_pl), np.asarray(lo_ref))
+    np.testing.assert_array_equal(np.asarray(hi_pl), np.asarray(hi_ref))
+    for br_pl, br_ref in zip(sts_pl, sts_ref):
+        for a, b in zip(br_pl, br_ref):
+            np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))

@@ -137,3 +137,88 @@ def test_qmul_fuzz_full_range():
         got = np.asarray(fxp.q_mul(jnp.asarray(a), jnp.asarray(b), f))
         want = golden.q_mul(a, b, f)
         np.testing.assert_array_equal(got, want)
+
+
+def test_biquad_clamp_bitexact_vs_golden():
+    import jax
+
+    rng = np.random.default_rng(6)
+    ba = biquad.quantize_ba(
+        biquad.from_cookbook(Filter().critical_frequency(0.05).lowpass()), 29
+    )
+    x = _rand_i32(rng, 1024)
+    u, lo, hi = 4321, -(2**27), 2**27
+    st = biquad.df1_init((), jnp.int32)
+    _, yj = jax.lax.scan(
+        lambda s, v: biquad.clamp_step(
+            biquad.df1_step_q(jnp.asarray(ba), 29, s, v),
+            jnp.int32(u), jnp.int32(lo), jnp.int32(hi),
+        ),
+        st, jnp.asarray(x),
+    )
+    _, yg = golden.biquad_df1_clamp(ba, 29, u, lo, hi, np.zeros(4, np.int32), x)
+    np.testing.assert_array_equal(np.asarray(yj), yg)
+
+
+def test_biquad_q16_bitexact_vs_golden():
+    """Q16<13> storage path (tests/embedded/README.md:62) — i16 arrays
+    with i32 accumulation via fxp._INT_INFO."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    ba = biquad.quantize_ba(
+        biquad.from_cookbook(Filter().critical_frequency(0.1).lowpass()),
+        13, dtype=jnp.int16,
+    )
+    x = rng.integers(-(2**15), 2**15, size=1024, dtype=np.int64).astype(
+        np.int16
+    )
+    st = biquad.df1_init((), jnp.int16)
+    _, yj = jax.lax.scan(
+        lambda s, v: biquad.df1_step_q(
+            jnp.asarray(ba), 13, s, v, dtype=jnp.int16
+        ),
+        st, jnp.asarray(x),
+    )
+    _, yg = golden.biquad_df1_q16(ba, 13, np.zeros(4, np.int16), x)
+    np.testing.assert_array_equal(np.asarray(yj), yg)
+
+
+def test_biquad_q64_bitexact_vs_golden():
+    """Q64<61> storage path (tests/embedded/README.md:63) — i64 arrays
+    with emulated 128-bit accumulation."""
+    rng = np.random.default_rng(8)
+    ba = biquad.quantize_ba(
+        biquad.from_cookbook(Filter().critical_frequency(0.02).lowpass()),
+        61, dtype=jnp.int64,
+    )
+    x = rng.integers(-(2**62), 2**62, size=512, dtype=np.int64)
+    st = biquad.df1_init((), jnp.int64)
+    _, yj = biquad.df1_process_q64(jnp.asarray(ba), 61, st, jnp.asarray(x))
+    _, yg = golden.biquad_df1_q64(ba, 61, np.zeros(4, np.int64), x)
+    np.testing.assert_array_equal(np.asarray(yj), yg)
+
+    # random full-range coefficients too (wrap behavior)
+    for trial in range(5):
+        ba_r = rng.integers(-(2**63), 2**63, size=5, dtype=np.int64)
+        f = int(rng.integers(40, 63))
+        x_r = rng.integers(-(2**63), 2**63, size=128, dtype=np.int64)
+        _, yj = biquad.df1_process_q64(
+            jnp.asarray(ba_r), f, st, jnp.asarray(x_r)
+        )
+        _, yg = golden.biquad_df1_q64(ba_r, f, np.zeros(4, np.int64), x_r)
+        np.testing.assert_array_equal(np.asarray(yj), yg, err_msg=f"t{trial}")
+
+
+def test_pll_bitexact_vs_golden():
+    from idsp_tpu.filters import pll
+
+    rng = np.random.default_rng(9)
+    pba = pll.coefficients_from_bandwidth(1e-2, 4.0)
+    x = _rand_i32(rng, 2048)
+    st = pll.init(())
+    _, yj = pll.block(jnp.asarray(pba), st, jnp.asarray(x))
+    _, _, yg = golden.pll(
+        pba, np.zeros(5, np.int32), np.zeros(2, np.int64), x
+    )
+    np.testing.assert_array_equal(np.asarray(yj), yg)
