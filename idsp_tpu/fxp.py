@@ -65,6 +65,34 @@ def q_apply(c, x, f: int, *, dtype=jnp.int32):
     return q_mul(c, x, f, dtype=dtype)
 
 
+def q_div(a, b, f_rhs: int, *, dtype=jnp.int32):
+    """``Q<f> / Q<f1> -> Q<f>`` (ops.rs:163-178).
+
+    For f1 > 0: widen the numerator, shift left by f1, integer-divide
+    by the widened denominator, narrow.  For f1 <= 0: shift the
+    numerator right by -f1 in the base width and divide there.  Integer
+    division truncates toward zero (Rust `/`), hence `lax.div` — jnp's
+    ``//`` floors and would differ on negative quotients.
+    """
+    import jax
+
+    a = jnp.asarray(a, dtype)
+    b = jnp.asarray(b, dtype)
+    if f_rhs > 0:
+        acc = widen_dtype(dtype)
+        return jax.lax.div(
+            shs(a.astype(acc), f_rhs), b.astype(acc)
+        ).astype(dtype)
+    return jax.lax.div(shs(a, f_rhs), b)
+
+
+def q_sum(x, axis=None):
+    """Sum of Q values: raw-bit wrapping sum at the same scale
+    (ops.rs:219-224 `iter::Sum`)."""
+    x = jnp.asarray(x)
+    return jnp.sum(x, axis=axis, dtype=x.dtype)
+
+
 def mul_wide(a, b, *, dtype=jnp.int32):
     """Widening multiply without the quantizing shift (``Q::mul_wide``,
     lib.rs:302-313). Returns the accumulator-dtype product."""

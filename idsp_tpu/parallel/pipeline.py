@@ -81,16 +81,119 @@ def pipelined_sos_cascade(ba_stages, xs_blocks, f: int, axis_name: str):
     return outs[s_count - 1 :]
 
 
-def run_pipelined_sos(mesh, ba_stages, xs_blocks, f: int, axis_name: str = "pp"):
-    """Convenience jit+shard_map wrapper (replicated in/out)."""
+def pipelined_sos_cascade_sharded(ba_stages, xs_local, nb: int,
+                                  f: int, axis_name: str):
+    """S-stage pipelined SOS with block storage SHARDED over the pipe.
+
+    Unlike `pipelined_sos_cascade` (replicated input/output — simple
+    but memory does not scale with stage count), each device holds only
+    its ``nb/S`` contiguous input blocks and collects only its own
+    output blocks: per-device memory is O(nb/S), matching how the
+    reference's `Major` pipelines only ever materialize one scratch
+    block per stage (compose.rs:569-613).
+
+    Per step the owner of the current source block publishes it with a
+    masked `psum` (one block of traffic — the same bandwidth class as
+    the ppermute hop the pipeline already pays), stage 0 consumes it,
+    and the final stage's emission is stored by the device owning that
+    output block index.
+
+    Runs inside `shard_map`; ``xs_local`` is this device's
+    (nb_loc, tb, ...) shard of the (nb, tb, ...) global block array,
+    nb = S * nb_loc.  Returns this device's (nb_loc, tb, ...) shard of
+    the cascade output.
+    """
+    s_count = jax.lax.axis_size(axis_name)
+    stage = jax.lax.axis_index(axis_name)
+    nb_loc, tb = xs_local.shape[0], xs_local.shape[1]
+    assert nb == nb_loc * s_count
+    ch_shape = xs_local.shape[2:]
+
+    my_ba = ba_stages[stage]
+
+    def publish(block_idx):
+        """Replicate global block ``block_idx`` from its owner."""
+        owner = block_idx // nb_loc
+        local = jnp.clip(block_idx - owner * nb_loc, 0, nb_loc - 1)
+        mine = jax.lax.dynamic_index_in_dim(
+            xs_local, local, axis=0, keepdims=False
+        )
+        return jax.lax.psum(
+            jnp.where(stage == owner, mine, jnp.zeros_like(mine)), axis_name
+        )
+
+    def step(carry, k):
+        state, prev_out, outs_local = carry
+        inbox = jax.lax.ppermute(
+            prev_out, axis_name, [(i, i + 1) for i in range(s_count - 1)]
+        )
+        # the published index must be computed identically on every
+        # device (exactly one psum contributor): stage 0 consumes
+        # block k, so publish block k.
+        src = publish(jnp.clip(k, 0, nb - 1))
+        x_in = jnp.where(stage == 0, src, inbox)
+        new_state, y = biquad.df1_process_q(my_ba, f, state, x_in)
+        active = (k - stage >= 0) & (k - stage < nb)
+        new_state = jax.tree.map(
+            lambda n, o: jnp.where(active, n, o), new_state, state
+        )
+        y = jnp.where(active, y, jnp.zeros_like(y))
+        # the last stage's finished block (index k - S + 1) goes to its
+        # owning device's local output store
+        out_idx = k - (s_count - 1)
+        final = replicate_from(y, axis_name, s_count - 1)
+        owner = out_idx // nb_loc
+        local = jnp.clip(out_idx - owner * nb_loc, 0, nb_loc - 1)
+        store = (out_idx >= 0) & (stage == owner)
+        upd = jax.lax.dynamic_update_index_in_dim(
+            outs_local, final, local, axis=0
+        )
+        outs_local = jnp.where(store, upd, outs_local)
+        return (new_state, y, outs_local), None
+
+    state0 = biquad.df1_init(ch_shape, jnp.int32)
+    prev0 = jnp.zeros((tb,) + ch_shape, jnp.int32)
+    outs0 = jnp.zeros_like(xs_local)  # already device-varying (from input)
+    state0, prev0 = jax.lax.pcast(
+        (state0, prev0), (axis_name,), to="varying"
+    )
+    steps = jnp.arange(nb + s_count - 1, dtype=jnp.int32)
+    (_, _, outs_local), _ = jax.lax.scan(
+        step, (state0, prev0, outs0), steps
+    )
+    return outs_local
+
+
+def run_pipelined_sos(mesh, ba_stages, xs_blocks, f: int,
+                      axis_name: str = "pp", *, shard_io: bool = False):
+    """Convenience jit+shard_map wrapper.
+
+    shard_io=False: replicated in/out (every device holds all blocks).
+    shard_io=True: block storage sharded over the pipe axis — memory
+    per device is O(nb/S); nb must divide by the stage count.
+    """
     from jax import shard_map
 
+    if not shard_io:
+        fn = jax.jit(
+            shard_map(
+                lambda ba, xb: pipelined_sos_cascade(ba, xb, f, axis_name),
+                mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=P(),
+            )
+        )
+        return fn(ba_stages, xs_blocks)
+
+    nb = xs_blocks.shape[0]
     fn = jax.jit(
         shard_map(
-            lambda ba, xb: pipelined_sos_cascade(ba, xb, f, axis_name),
+            lambda ba, xb: pipelined_sos_cascade_sharded(
+                ba, xb, nb, f, axis_name
+            ),
             mesh=mesh,
-            in_specs=(P(), P()),
-            out_specs=P(),
+            in_specs=(P(), P(axis_name)),
+            out_specs=P(axis_name),
         )
     )
     return fn(ba_stages, xs_blocks)

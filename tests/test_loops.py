@@ -295,3 +295,97 @@ def test_rpll_batch_fast_narrow_scenario():
     # rpll.rs:277-289: dt2 11, period 2431, noise 100, shifts 23/23.
     cfg = rpll.RpllConfig(dt2=11, shift_frequency=23, shift_phase=23)
     _rpll_measure(cfg, 2431, 35281, 100, [1e-7, 2e-4, 6e-3, 6e-3], n=1 << 16)
+
+
+def test_cic_modular_recomposition_decimator():
+    """The monolithic CIC decimator equals the composition of
+    Integrator x N -> Downsample -> Comb x N built from the process.py
+    primitives, bit for bit — the reference's modular equivalence proof
+    (cic.rs:305-387)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from idsp_tpu import process
+    from idsp_tpu.filters import cic
+
+    rng = np.random.default_rng(42)
+    n, m, rate = 3, 2, 15
+    r = rate + 1
+    c, t = 4, r * 32
+    x1 = jnp.asarray(
+        rng.integers(-(2**16), 2**16, size=(c, t), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    x2 = jnp.asarray(
+        rng.integers(-(2**16), 2**16, size=(c, t), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+
+    # monolithic, two chained blocks
+    st = cic.init(n, m, (c,))
+    st, y1 = cic.decimate_block(st, x1, rate)
+    st, y2 = cic.decimate_block(st, x2, rate)
+
+    # modular: integrators -> downsample -> combs (delay m)
+    int_states = [process.integrator_init((c,)) for _ in range(n)]
+    comb_states = [
+        process.delay_init(m, (c,), jnp.int32) for _ in range(n)
+    ]
+    outs = []
+    for x in (x1, x2):
+        cur = x
+        for i in range(n):
+            int_states[i], cur = process.integrator_block(int_states[i], cur)
+        cur = process.downsample(cur, r, 0)
+        for i in range(n):
+            comb_states[i], cur = process.comb_block(comb_states[i], cur)
+        outs.append(cur)
+
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(outs[0]))
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(outs[1]))
+
+
+def test_cic_modular_recomposition_interpolator():
+    """Comb x N -> Hold -> Integrator x N == monolithic interpolator
+    (cic.rs:309-387)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from idsp_tpu import process
+    from idsp_tpu.filters import cic
+
+    rng = np.random.default_rng(43)
+    n, m, rate = 3, 1, 7
+    r = rate + 1
+    c, t = 4, 64
+    x1 = jnp.asarray(
+        rng.integers(-(2**10), 2**10, size=(c, t), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    x2 = jnp.asarray(
+        rng.integers(-(2**10), 2**10, size=(c, t), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+
+    st = cic.init(n, m, (c,))
+    st, y1 = cic.interpolate_block(st, x1, rate)
+    st, y2 = cic.interpolate_block(st, x2, rate)
+
+    comb_states = [
+        process.delay_init(m, (c,), jnp.int32) for _ in range(n)
+    ]
+    int_states = [process.integrator_init((c,)) for _ in range(n)]
+    outs = []
+    for x in (x1, x2):
+        cur = x
+        for i in range(n):
+            comb_states[i], cur = process.comb_block(comb_states[i], cur)
+        cur = process.hold(cur, r)
+        for i in range(n):
+            int_states[i], cur = process.integrator_block(int_states[i], cur)
+        outs.append(cur)
+
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(outs[0]))
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(outs[1]))

@@ -274,3 +274,65 @@ def test_luts_match_documented_values():
     assert len(luts.cordic_circular_table()) == 30
     # atan(1)/pi = 0.25 -> 2^29
     assert luts.cordic_circular_table()[0] == 1 << 29
+
+
+def test_q_div_reference_doctests():
+    """ops.rs:155-178 doctest values + truncation-toward-zero."""
+    import jax.numpy as jnp
+    from idsp_tpu import fxp
+
+    # Q8<4>(0.75) / Q8<3>(int 3) == Q8<4>(0.25)
+    a = jnp.asarray(int(0.75 * 16), jnp.int8)
+    b = jnp.asarray(3 * 8, jnp.int8)
+    assert int(fxp.q_div(a, b, 3, dtype=jnp.int8)) == int(0.25 * 16)
+    # Q8<4>(int 3) / Q8<4>(int 2) == Q8<4>(1.5)
+    a = jnp.asarray(3 << 4, jnp.int8)
+    b = jnp.asarray(2 << 4, jnp.int8)
+    assert int(fxp.q_div(a, b, 4, dtype=jnp.int8)) == int(1.5 * 16)
+    # Rust / truncates toward zero: -3/2 == -1 (floor would give -2)
+    a = jnp.asarray(-3 << 4, jnp.int32)
+    b = jnp.asarray(2 << 4, jnp.int32)
+    got = fxp.q_div(a, b, 4)  # -1.5 -> raw -24 (exact)
+    assert int(got) == -24
+    a = jnp.asarray(-3, jnp.int32)  # raw -3 / raw 32 at f1=0 scale
+    b = jnp.asarray(2, jnp.int32)
+    assert int(fxp.q_div(a, b, 0)) == -1  # trunc, not floor(-1.5)=-2
+
+
+def test_q_sum_wraps_at_scale():
+    import jax.numpy as jnp
+    import numpy as np
+    from idsp_tpu import fxp
+
+    x = jnp.asarray([2**30, 2**30, 2**30, 5], jnp.int32)
+    got = int(fxp.q_sum(x))
+    want = np.int32(
+        (np.int64(2**30) * 3 + 5) & 0xFFFFFFFF
+        | (-(((np.int64(2**30) * 3 + 5) >> 31) & 1) << 32)
+    )
+    # simpler: wrapping i32 sum
+    want = np.asarray([2**30, 2**30, 2**30, 5], np.int32).sum(dtype=np.int32)
+    assert got == int(want)
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    import jax.numpy as jnp
+    from idsp_tpu import checkpoint
+
+    state = {"a": jnp.zeros((4,), jnp.int32), "b": jnp.ones((2,), jnp.float32)}
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save(p, state, backend="npz")
+    # same structure restores bit-exactly
+    out = checkpoint.restore(p, state)
+    assert out["a"].shape == (4,)
+    # wrong structure raises instead of silently mis-assigning
+    import pytest
+
+    with pytest.raises(checkpoint.CheckpointStructureError):
+        checkpoint.restore(p, {"a": jnp.zeros((4,), jnp.int32)})
+    with pytest.raises(checkpoint.CheckpointStructureError):
+        checkpoint.restore(
+            p,
+            {"a": jnp.zeros((5,), jnp.int32),
+             "b": jnp.ones((2,), jnp.float32)},
+        )
