@@ -71,101 +71,6 @@ def _shr_i64_to_i32(hi, lo, f: int):
     return (hi << (32 - f)) | (lo >> f).astype(jnp.int32)
 
 
-def _df1_q_kernel(
-    st_in_ref, x_ref, y_ref, out_state_ref, state_ref, *, ba: tuple, f: int
-):
-    """One time-chunk: sequential fori over rows, channels on lanes.
-
-    Coefficients are trace-time constants (static `ba` tuple): an SMEM
-    coefficient input triggered Mosaic lowering failures under a grid,
-    and baked constants fold into the MACs anyway.  Retunes recompile
-    (cheap, cached); the scan path handles dynamic coefficients.
-    """
-    tq = pl.program_id(0)
-    n_t = pl.num_programs(0)
-
-    @pl.when(tq == 0)
-    def _():
-        state_ref[...] = st_in_ref[...]
-
-    # Channels are laid out 2D as (c // 128 sublanes, 128 lanes): a
-    # (1, c) row would occupy one sublane of each vreg (1/8 VPU
-    # utilization); (cs, 128) rows pack vregs fully.
-    b0 = jnp.int32(ba[0])
-    b1 = jnp.int32(ba[1])
-    b2 = jnp.int32(ba[2])
-    a1 = jnp.int32(ba[3])
-    a2 = jnp.int32(ba[4])
-
-    tc = x_ref.shape[0]
-
-    # The carry is ONE packed (4, C) array [x1; x2; y1; y2]: Mosaic
-    # miscompiles tuple-of-vector fori carries under a grid (observed
-    # "failed to legalize func.return (i64)" on v5e), a single array
-    # carry lowers fine.
-    def body(i, carry):
-        x1 = carry[0]
-        x2 = carry[1]
-        y1 = carry[2]
-        y2 = carry[3]
-        x0 = x_ref[i]
-        acc = _mul_i32_i32_to_i64(jnp.full_like(x0, b0), x0)
-        acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b1), x1))
-        acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b2), x2))
-        acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, a1), y1))
-        acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, a2), y2))
-        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-        y_ref[i, :] = y0
-        return jnp.stack([x0, x1, y0, y1])
-
-    # int32 loop bounds: under jax_enable_x64 the default i64 induction
-    # variable does not lower through Mosaic.
-    st = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(tc), body, state_ref[...]
-    )
-    state_ref[...] = st
-
-    @pl.when(tq == n_t - 1)
-    def _():
-        out_state_ref[...] = st
-
-
-def _df1_f32_kernel(
-    st_in_ref, x_ref, y_ref, out_state_ref, state_ref, *, ba: tuple
-):
-    """Float DF1 bank: same structure as the integer kernel, plain FMAs."""
-    tq = pl.program_id(0)
-    n_t = pl.num_programs(0)
-
-    @pl.when(tq == 0)
-    def _():
-        state_ref[...] = st_in_ref[...]
-
-    b0 = jnp.float32(ba[0])
-    b1 = jnp.float32(ba[1])
-    b2 = jnp.float32(ba[2])
-    a1 = jnp.float32(ba[3])
-    a2 = jnp.float32(ba[4])
-    tc = x_ref.shape[0]
-
-    def body(i, carry):
-        x1 = carry[0]
-        x2 = carry[1]
-        y1 = carry[2]
-        y2 = carry[3]
-        x0 = x_ref[i]
-        y0 = b0 * x0 + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
-        y_ref[i] = y0
-        return jnp.stack([x0, x1, y0, y1])
-
-    st = jax.lax.fori_loop(jnp.int32(0), jnp.int32(tc), body, state_ref[...])
-    state_ref[...] = st
-
-    @pl.when(tq == n_t - 1)
-    def _():
-        out_state_ref[...] = st
-
-
 def df1_bank_f32(ba, state: Df1State, xs, *, time_chunk: int = 256,
                  interpret: bool = False):
     """Float DF1 biquad bank, Pallas fast path (sequential semantics —
@@ -187,111 +92,32 @@ def _df1_bank_f32_impl(ba_static, state: Df1State, xs, *, time_chunk,
     t, c = xs.shape
     assert c % 128 == 0
     cs = c // 128
-    vmem_cap = max(8, (12 * 2**20) // (16 * c))
-    while time_chunk > vmem_cap:
-        time_chunk //= 2
-    while t % time_chunk:
-        time_chunk //= 2
-    assert time_chunk >= 8
     st_in = jnp.stack(
         [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
         axis=0,
     ).reshape(4, cs, 128).astype(jnp.float32)
-    xs3 = xs.reshape(t, cs, 128)
 
-    grid = (t // time_chunk,)
-    kernel = functools.partial(_df1_f32_kernel, ba=ba_static)
-    ys, st_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (4, cs, 128),
-                lambda i: (i * 0, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (time_chunk, cs, 128),
-                lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (time_chunk, cs, 128),
-                lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (4, cs, 128),
-                lambda i: (i * 0, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, cs, 128), jnp.float32),
-            jax.ShapeDtypeStruct((4, cs, 128), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((4, cs, 128), jnp.float32)],
-        input_output_aliases={1: 0},
-        interpret=interpret,
-    )(st_in, xs3)
+    def body(carry, x0, _extras):
+        # jnp constants must be created INSIDE the kernel trace (a
+        # closure-captured traced array is rejected by pallas_call)
+        b0, b1, b2, a1, a2 = (jnp.float32(v) for v in ba_static)
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        y0 = b0 * x0 + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
+        return jnp.stack([x0, x1, y0, y1]), y0
 
+    # unroll=1: float MACs contract to FMAs differently across unrolled
+    # instances (1-ULP drift), breaking the documented bit-match with
+    # the scan.  Integer kernels (exact arithmetic) use the default 2.
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body, unroll=1), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+    )
     st_out = st_out.reshape(4, c)
     new_state = Df1State(
         x=jnp.stack([st_out[0], st_out[1]], axis=-1),
         y=jnp.stack([st_out[2], st_out[3]], axis=-1),
     )
     return new_state, ys.reshape(t, c)
-
-
-def _sos_q_kernel(
-    st_in_ref, x_ref, y_ref, out_state_ref, state_ref, *, ba: tuple, f: int,
-    n_stages: int
-):
-    """Stage-major SOS cascade, whole cascade per time step in-kernel.
-
-    State rows: stage n occupies rows [4n, 4n+4) as [x1; x2; y1; y2].
-    Same Mosaic workarounds as `_df1_q_kernel` (packed single-array
-    carry, static coefficients, i32 loop bounds).
-    """
-    tq = pl.program_id(0)
-    n_t = pl.num_programs(0)
-
-    @pl.when(tq == 0)
-    def _():
-        state_ref[...] = st_in_ref[...]
-
-    tc = x_ref.shape[0]
-
-    def body(i, carry):
-        cur = x_ref[i]
-        rows = []
-        for n in range(n_stages):
-            b0, b1, b2, a1, a2 = (jnp.int32(v) for v in ba[5 * n : 5 * n + 5])
-            x1 = carry[4 * n + 0]
-            x2 = carry[4 * n + 1]
-            y1 = carry[4 * n + 2]
-            y2 = carry[4 * n + 3]
-            acc = _mul_i32_i32_to_i64(jnp.full_like(cur, b0), cur)
-            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, b1), x1))
-            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, b2), x2))
-            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, a1), y1))
-            acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(cur, a2), y2))
-            y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-            rows.extend([cur, x1, y0, y1])
-            cur = y0
-        y_ref[i] = cur
-        return jnp.stack(rows)
-
-    st = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(tc), body, state_ref[...]
-    )
-    state_ref[...] = st
-
-    @pl.when(tq == n_t - 1)
-    def _():
-        out_state_ref[...] = st
 
 
 def sos_bank_q(ba_stages, states, xs, f: int = 29, *, time_chunk: int = 256,
@@ -346,54 +172,25 @@ def sos_bank_q(ba_stages, states, xs, f: int = 29, *, time_chunk: int = 256,
 )
 def _sos_bank_q_impl(ba_static, st_in, xs3, f, *, n_stages, time_chunk,
                      interpret):
-    t, cs, _ = xs3.shape
-    c = cs * 128
-    vmem_cap = max(8, (12 * 2**20) // (16 * c))
-    while time_chunk > vmem_cap:
-        time_chunk //= 2
-    while t % time_chunk:
-        time_chunk //= 2
-    assert time_chunk >= 8
+    def body(carry, x0, _extras):
+        cur = x0
+        rows_out = []
+        for n in range(n_stages):
+            ba_n = ba_static[5 * n: 5 * n + 5]
+            x1 = carry[4 * n + 0]
+            x2 = carry[4 * n + 1]
+            y1 = carry[4 * n + 2]
+            y2 = carry[4 * n + 3]
+            acc = _mac5_q(ba_n, cur, x1, x2, y1, y2)
+            y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+            rows_out.extend([cur, x1, y0, y1])
+            cur = y0
+        return jnp.stack(rows_out), cur
 
-    rows = 4 * n_stages
-    grid = (t // time_chunk,)
-    kernel = functools.partial(
-        _sos_q_kernel, ba=ba_static, f=f, n_stages=n_stages
+    return _bank_call(
+        _seq_bank_kernel(body), st_in, xs3,
+        time_chunk=time_chunk, interpret=interpret,
     )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (rows, cs, 128),
-                lambda i: (i * 0, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (time_chunk, cs, 128),
-                lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (time_chunk, cs, 128),
-                lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (rows, cs, 128),
-                lambda i: (i * 0, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, cs, 128), jnp.int32),
-            jax.ShapeDtypeStruct((rows, cs, 128), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((rows, cs, 128), jnp.int32)],
-        interpret=interpret,
-    )(st_in, xs3)
 
 
 def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
@@ -428,59 +225,21 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
     t, c = xs.shape
     assert c % 128 == 0, "channel count must be a multiple of 128"
     cs = c // 128
-    # Auto-clamp the time chunk to the VMEM budget: the in and out
-    # blocks are double-buffered (4 * tc * c * 4 bytes must stay well
-    # under the ~16 MB scoped VMEM limit).
-    vmem_cap = max(8, (12 * 2**20) // (16 * c))
-    while time_chunk > vmem_cap:
-        time_chunk //= 2
-    while t % time_chunk:
-        time_chunk //= 2
-    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
     st_in = jnp.stack(
         [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
         axis=0,
     ).reshape(4, cs, 128)
-    xs3 = xs.reshape(t, cs, 128)
 
-    grid = (t // time_chunk,)
-    kernel = functools.partial(_df1_q_kernel, ba=ba_static, f=f)
-    ys, st_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (4, cs, 128),
-                lambda i: (i * 0, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (time_chunk, cs, 128),
-                lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (time_chunk, cs, 128),
-                lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (4, cs, 128),
-                lambda i: (i * 0, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, cs, 128), jnp.int32),
-            jax.ShapeDtypeStruct((4, cs, 128), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((4, cs, 128), jnp.int32)],
-        input_output_aliases={1: 0},  # donate xs -> ys (same shape)
-        interpret=interpret,
-    )(st_in, xs3)
+    def body(carry, x0, _extras):
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        return jnp.stack([x0, x1, y0, y1]), y0
 
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+    )
     st_out = st_out.reshape(4, c)
     new_state = Df1State(
         x=jnp.stack([st_out[0], st_out[1]], axis=-1),
@@ -557,10 +316,18 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
     return ys, st_out
 
 
-def _seq_bank_kernel(body):
+def _seq_bank_kernel(body, unroll: int = 2):
     """Wrap a per-chunk ``body(carry, x_row, extra_rows) -> (carry, y)``
     into the standard sequential bank kernel (state in scratch across
-    grid steps, packed single-array carry, i32 fori bounds)."""
+    grid steps, packed single-array carry, i32 fori bounds).
+
+    ``unroll`` statically unrolls the time loop: the per-step dependent
+    chain (MACs -> shift -> state) leaves the VPU idle between
+    iterations; unrolling by 2 lets Mosaic interleave two steps'
+    independent work and measures ~2.9x on v5e (scripts/
+    tpu_unroll_exp.py: 24 -> 69 GS/s on the 1024-lane DF1 bank).
+    Time chunks are always a multiple of ``unroll`` (powers of two).
+    """
 
     def kernel(*refs):
         *extra_refs, st_in_ref, x_ref, y_ref, out_state_ref, state_ref = refs
@@ -574,13 +341,15 @@ def _seq_bank_kernel(body):
         extras = tuple(r[...] for r in extra_refs)
         tc = x_ref.shape[0]
 
-        def step(i, carry):
-            carry, y = body(carry, x_ref[i], extras)
-            y_ref[i] = y
+        def step(j, carry):
+            for u in range(unroll):
+                i = j * unroll + u
+                carry, y = body(carry, x_ref[i], extras)
+                y_ref[i] = y
             return carry
 
         st = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(tc), step, state_ref[...]
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
         )
         state_ref[...] = st
 

@@ -256,6 +256,67 @@ def sharded_df1_q_relay(ba, state, xs, f: int, axis_name: str, *,
     return global_out, ys
 
 
+def sharded_hbf_dec(taps, state, x_local, axis_name: str, *,
+                    use_rdma: bool = False, rdma_interpret=None):
+    """Time-sharded half-band decimate-by-2 with overlap-save halos.
+
+    The reference carries the FIR tail across blocks inside one core
+    (`state.copy_within`, hbf.rs:93-101); across a mesh that carry is a
+    neighbor halo: each device fetches the ``4m-2`` full-rate samples
+    preceding its block (one hop), reconstructs the odd/even tails, and
+    runs the block FIR locally.  Device 0 uses the carried global
+    state.  Matches `hbf.hbf_dec_block` over the concatenated stream to
+    within FMA contraction (same windows and add order; XLA fuses the
+    two graphs' multiply-adds differently, ~1 ULP).
+
+    Args:
+      x_local: (..., t_loc) this device's time shard, t_loc even.
+      use_rdma: move the halo with the Pallas `make_async_remote_copy`
+        kernel (parallel/halo_rdma.py) instead of `ppermute`.
+
+    Returns (new_state_global, y_local (..., t_loc // 2)).
+    """
+    import numpy as np
+
+    from ..filters import hbf
+
+    taps = np.asarray(taps)
+    m = taps.shape[0]
+    h = 4 * m - 2
+    idx = jax.lax.axis_index(axis_name)
+    n_dev = jax.lax.axis_size(axis_name)
+
+    xt = jnp.moveaxis(x_local, -1, 0)
+    assert x_local.shape[-1] % 2 == 0 and x_local.shape[-1] >= h
+    if use_rdma:
+        from .halo_rdma import halo_exchange_prev_rdma
+
+        halo_t = halo_exchange_prev_rdma(
+            xt, axis_name, h, interpret=rdma_interpret
+        )
+    else:
+        halo_t = halo_exchange_prev(xt, axis_name, h)
+    halo = jnp.moveaxis(halo_t, 0, -1)  # (..., h) preceding samples
+
+    # Blocks start at even global indices (t_loc even), so halo[0] is an
+    # even-parity sample: odds at 1::2 (2m-1 of them), evens at 0::2.
+    odd_tail = halo[..., 1::2]
+    even_tail = (
+        halo[..., 0::2][..., -(m - 1):]
+        if m > 1
+        else halo[..., :0]
+    )
+    st_loc = hbf.HbfDecState(
+        odd=jnp.where(idx == 0, state.odd, odd_tail),
+        even=jnp.where(idx == 0, state.even, even_tail),
+    )
+    new_st, y = hbf.hbf_dec_block(taps, st_loc, x_local)
+    new_state = jax.tree.map(
+        lambda a: replicate_from(a, axis_name, n_dev - 1), new_st
+    )
+    return new_state, y
+
+
 def channel_sharding(mesh, axis: str = "dp"):
     """NamedSharding spec for (channel, time) arrays sharded on channels."""
     from jax.sharding import NamedSharding

@@ -83,6 +83,73 @@ def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8):
     return BankState(hist=new_hist), y
 
 
+def channelize_tp(state: BankState, x_local, axis_name: str, *, m: int,
+                  taps: int = 8, proto=None):
+    """Tensor-parallel channelizer: the DFT *contraction* axis (the
+    polyphase branches k) sharded over the mesh.
+
+    Each device runs the polyphase FIR on its ``m/n_dev`` branch slice
+    and contributes a partial DFT for ALL output channels; one `psum`
+    combines the partials — the canonical TP-matmul pattern (shard the
+    contraction axis, all-reduce the output), applied to the
+    channelizer's DFT (polyphase_channelizer.rs:77-101).
+
+    Runs inside `shard_map`.  Args:
+      state: per-device BankState with hist (..., taps-1, m_loc, 2).
+      x_local: (..., n, m_loc, 2) — this device's branch slice of the
+        (..., n, m, 2) frame stream.
+
+    Returns (state, y) with y REPLICATED (..., n, m, 2).  Matches
+    `channelize` up to float summation order (the psum reassociates the
+    k-sum across devices).
+    """
+    import jax.numpy as _jnp
+
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    assert m % n_dev == 0 or n_dev == 1
+    m_loc = x_local.shape[-2]
+    if proto is None:
+        proto = prototype(m, taps)
+    coeff_full = jnp.asarray(
+        np.asarray(proto, np.float32).reshape(taps, m)
+    )
+    coeff = jax.lax.dynamic_slice_in_dim(
+        coeff_full, idx * m_loc, m_loc, axis=1
+    )  # (taps, m_loc)
+
+    n = x_local.shape[-3]
+    ext = jnp.concatenate([state.hist, x_local], axis=-3)
+    acc = None
+    for tap in range(taps):
+        sl = jax.lax.slice_in_dim(
+            ext, taps - 1 - tap, taps - 1 - tap + n, axis=-3
+        )
+        term = sl * coeff[tap][:, None]
+        acc = term if acc is None else acc + term
+    new_hist = jax.lax.slice_in_dim(ext, n, taps - 1 + n, axis=-3)
+
+    # partial DFT from our k rows, real/imag planes (complex psum under
+    # shard_map is avoided)
+    w = _dft_matrix(m)
+    wr = jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(np.real(w).astype(np.float32)), idx * m_loc, m_loc, 0
+    )
+    wi = jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(np.imag(w).astype(np.float32)), idx * m_loc, m_loc, 0
+    )
+    zr = acc[..., 0]
+    zi = acc[..., 1]  # (..., n, m_loc)
+    yr = _jnp.einsum("...k,km->...m", zr, wr) - _jnp.einsum(
+        "...k,km->...m", zi, wi
+    )
+    yi = _jnp.einsum("...k,km->...m", zr, wi) + _jnp.einsum(
+        "...k,km->...m", zi, wr
+    )
+    y = jax.lax.psum(jnp.stack([yr, yi], axis=-1), axis_name)
+    return BankState(hist=new_hist), y
+
+
 def frames_from_stream(x_iq, m: int):
     """(..., n*m, 2) interleaved IQ stream -> (..., n, m, 2) frames."""
     t = x_iq.shape[-2]

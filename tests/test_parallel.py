@@ -118,3 +118,117 @@ def test_channel_sharded_fm_bank():
     im_s = jax.device_put(im, sh)
     _, y_sh = fm_disc.fm_receiver(st, re_s, im_s, jnp.int32(1000), ba_q)
     np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_sh))
+
+
+def test_sharded_hbf_dec_matches_block():
+    """Time-sharded HBF decimator (overlap-save halos) == sequential
+    hbf_dec_block (up to FMA contraction), including the carried state
+    across two chained sharded blocks."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.parallel import make_mesh
+    from idsp_tpu.parallel.stream import sharded_hbf_dec
+
+    mesh = make_mesh({"sp": 8})
+    taps = hbf.HBF_TAPS[2]
+    m = len(taps)
+    c, t = 3, 8 * 64
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(rng.normal(size=(c, t)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(c, t)).astype(np.float32))
+
+    st = hbf.hbf_dec_init(m, (c,))
+
+    def sharded(st, x):
+        return sharded_hbf_dec(taps, st, x, "sp")
+
+    f = jax.jit(
+        shard_map(
+            sharded, mesh=mesh,
+            in_specs=(P(), P(None, "sp")),
+            out_specs=(P(), P(None, "sp")),
+        )
+    )
+    st_sh, y1_sh = f(st, x1)
+    st_sh, y2_sh = f(st_sh, x2)
+
+    st_ref, y1 = hbf.hbf_dec_block(taps, st, x1)
+    st_ref, y2 = hbf.hbf_dec_block(taps, st_ref, x2)
+    np.testing.assert_allclose(np.asarray(y1_sh), np.asarray(y1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(y2_sh), np.asarray(y2), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(st_sh.odd), np.asarray(st_ref.odd))
+
+
+def test_sharded_hbf_dec_rdma_halo():
+    """Same equivalence with the halo moved by the Pallas RDMA kernel."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.parallel import make_mesh
+    from idsp_tpu.parallel.stream import sharded_hbf_dec
+
+    mesh = make_mesh({"sp": 8})
+    taps = hbf.HBF_TAPS[2]
+    m = len(taps)
+    c, t = 2, 8 * 32
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(c, t)).astype(np.float32))
+    st = hbf.hbf_dec_init(m, (c,))
+
+    f = jax.jit(
+        shard_map(
+            lambda st, x: sharded_hbf_dec(
+                taps, st, x, "sp", use_rdma=True, rdma_interpret=True
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(None, "sp")),
+            out_specs=(P(), P(None, "sp")),
+            check_vma=False,
+        )
+    )
+    _, y_sh = f(st, x)
+    _, y = hbf.hbf_dec_block(taps, st, x)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y), atol=2e-6)
+
+
+def test_channelizer_tensor_parallel():
+    """TP channelizer (DFT contraction sharded + psum) matches the
+    replicated channelizer across two chained blocks."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from idsp_tpu.pipelines import channelizer
+    from idsp_tpu.parallel import make_mesh
+
+    n_dev, m, taps, n = 8, 16, 8, 32
+    mesh = make_mesh({"tp": n_dev})
+    rng = np.random.default_rng(5)
+    x1 = jnp.asarray(rng.normal(size=(n, m, 2)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(n, m, 2)).astype(np.float32))
+
+    st_ref = channelizer.init(m, taps)
+    st_ref, y1 = channelizer.channelize(st_ref, x1, m=m, taps=taps)
+    st_ref, y2 = channelizer.channelize(st_ref, x2, m=m, taps=taps)
+
+    f = jax.jit(
+        shard_map(
+            lambda st, x: channelizer.channelize_tp(
+                st, x, "tp", m=m, taps=taps
+            ),
+            mesh=mesh,
+            in_specs=(P(None, "tp", None), P(None, "tp", None)),
+            out_specs=(P(None, "tp", None), P()),
+        )
+    )
+    st_tp = channelizer.init(m, taps)
+    st_tp, y1_tp = f(st_tp, x1)
+    st_tp, y2_tp = f(st_tp, x2)
+    np.testing.assert_allclose(
+        np.asarray(y1_tp), np.asarray(y1), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y2_tp), np.asarray(y2), rtol=0, atol=1e-5
+    )
