@@ -11,8 +11,9 @@ HBF decimate-by-8 cascade on I/Q.
 Methodology notes (remote axon TPU):
 * `block_until_ready` does not actually fence on the axon tunnel; a
   scalar readback (`float(jnp.sum(...))`) does.
-* There is a ~30 ms fixed dispatch+readback round trip; we chain many
-  dispatches and subtract the measured trivial round trip.
+* The fixed dispatch+readback overhead (~30-120 ms depending on sync
+  style) is eliminated by iteration differencing: time n1 and n2
+  chained dispatches, divide the difference.
 """
 
 import json
@@ -93,26 +94,26 @@ def main():
         s, (zi, zq) = run(state, x)
         _ = float(jnp.sum(zi))
 
-    # fixed round-trip cost
-    triv = jax.jit(lambda v: v + 1)
-    _ = float(jnp.sum(triv(jnp.zeros((8,), jnp.int32))))
-    t0 = time.perf_counter()
-    _ = float(jnp.sum(triv(jnp.zeros((8,), jnp.int32))))
-    rt = time.perf_counter() - t0
-
-    iters = 10
-    best = float("inf")
-    for _trial in range(3):
+    # Iteration differencing: time n1 and n2 chained dispatches and use
+    # the difference — the fixed dispatch+readback overhead of the axon
+    # tunnel (~30-120 ms depending on sync style) cancels exactly,
+    # which a separately-measured "round trip" subtraction does not.
+    def timed(iters):
         t0 = time.perf_counter()
         s = state
         for _ in range(iters):
             s, (zi, zq) = run(s, x)
         _ = float(jnp.sum(zi)) + float(jnp.sum(zq))
-        dt = time.perf_counter() - t0
-        best = min(best, max(dt - rt, 1e-9))
+        return time.perf_counter() - t0
 
-    samples = c * t * iters
-    rate = samples / best
+    n1, n2 = 10, 40
+    best = float("inf")
+    for _trial in range(3):
+        d1 = timed(n1)
+        d2 = timed(n2)
+        best = min(best, max((d2 - d1) / (n2 - n1), 1e-9))
+
+    rate = c * t / best
     baseline = 1e9
     print(
         json.dumps(

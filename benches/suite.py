@@ -93,8 +93,10 @@ def main(argv=None):
     rows: list[Row] = []
 
     def run_trials(name, fn, state, *xargs, samples=n, stateful=True):
-        """Bench one config: warm (compile), then `trials` timed trials
-        of `iters` chained dispatches each, fixed round trip subtracted."""
+        """Bench one config by iteration differencing: time `iters` and
+        `3*iters` chained dispatches — the fixed dispatch+readback
+        overhead of the tunnel cancels in the difference (a separately
+        measured round trip under/over-subtracts by tens of ms)."""
         if args.only and args.only not in name:
             return
         try:
@@ -103,19 +105,25 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001
             print(f"# {name} skipped: {str(e)[:100]}")
             return
-        row = Row(name)
-        for _ in range(trials):
+
+        def timed(k):
             t0 = time.perf_counter()
             st = state
-            for _ in range(iters):
+            for _ in range(k):
                 if stateful:
                     res = fn(st, *xargs)
                     st = res[0]
                 else:
                     res = fn(*xargs)
             sync(res)
-            dt = max(time.perf_counter() - t0 - rt, 1e-9)
-            row.rates.append(samples * iters / dt)
+            return time.perf_counter() - t0
+
+        row = Row(name)
+        for _ in range(trials):
+            d1 = timed(iters)
+            d2 = timed(3 * iters)
+            dt = max((d2 - d1) / (2 * iters), 1e-9)
+            row.rates.append(samples / dt)
         rows.append(row)
         print(row.line(), flush=True)
 
