@@ -100,7 +100,7 @@ def main(argv=None):
         if args.only and args.only not in name:
             return
         try:
-            out = fn(state, *xargs) if stateful else fn(*xargs)
+            out = fn(state, *xargs)
             sync(out)
         except Exception as e:  # noqa: BLE001
             print(f"# {name} skipped: {str(e)[:100]}")
@@ -110,18 +110,18 @@ def main(argv=None):
             t0 = time.perf_counter()
             st = state
             for _ in range(k):
+                res = fn(st, *xargs)
                 if stateful:
-                    res = fn(st, *xargs)
                     st = res[0]
-                else:
-                    res = fn(*xargs)
             sync(res)
             return time.perf_counter() - t0
 
         row = Row(name)
         for _ in range(trials):
-            d1 = timed(iters)
-            d2 = timed(3 * iters)
+            # min-of-2 per leg: the tunnel's dispatch latency has
+            # multi-ms spikes that otherwise leak into the difference
+            d1 = min(timed(iters), timed(iters))
+            d2 = min(timed(3 * iters), timed(3 * iters))
             dt = max((d2 - d1) / (2 * iters), 1e-9)
             row.rates.append(samples / dt)
         rows.append(row)

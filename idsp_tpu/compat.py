@@ -80,11 +80,21 @@ def sos_clamp_wide(sos_rows, xy, *, f: int = 29):
     ba5 = biquad.from_cookbook(rows[:, :6].reshape(-1, 2, 3))
     ba_q = biquad.quantize_ba(ba5, f)
     y = jnp.asarray(xy, jnp.int32)
+    use_kernel = (
+        y.ndim == 2
+        and y.shape[1] % 128 == 0
+        and jax.default_backend() in ("tpu", "axon")
+    )
     for i, stage in enumerate(ba_q):
         u = _round_sat_i32(rows[i, 6])
         lo = _round_sat_i32(rows[i, 7])
         hi = _round_sat_i32(rows[i, 8])
         st = biquad.df1_wide_init(y.shape[1:])
+        if use_kernel:
+            from .filters.biquad_pallas import df1_wide_bank
+
+            _, y = df1_wide_bank(stage, st, y, f, clamp=(u, lo, hi))
+            continue
         stage_j = jnp.asarray(stage)
 
         def step(s, x, stage_j=stage_j, u=u, lo=lo, hi=hi):

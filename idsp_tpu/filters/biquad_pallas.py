@@ -136,8 +136,23 @@ def sos_bank_q(ba_stages, states, xs, f: int = 29, *, time_chunk: int = 256,
     import numpy as _np
 
     ba_arr = _np.asarray(ba_stages).reshape(-1, 5)
-    n_stages = ba_arr.shape[0]
     ba_static = tuple(int(v) for v in ba_arr.reshape(-1))
+    return _sos_bank_q_impl(
+        ba_static, tuple(states), xs, f,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "time_chunk", "interpret"),
+)
+def _sos_bank_q_impl(ba_static, states, xs, f, *, time_chunk, interpret):
+    # Everything incl. the state pack/unpack lives INSIDE one jit: each
+    # stray host-side jnp op outside it costs a full ~5 ms dispatch
+    # round trip on the axon tunnel (measured: the same kernel ran
+    # 36 ms/call with outside packing, 3.4 ms inside one jit).
+    n_stages = len(ba_static) // 5
     t, c = xs.shape
     assert c % 128 == 0
     cs = c // 128
@@ -151,27 +166,6 @@ def sos_bank_q(ba_stages, states, xs, f: int = 29, *, time_chunk: int = 256,
         axis=0,
     ).reshape(4 * n_stages, cs, 128)
 
-    ys, st_out = _sos_bank_q_impl(
-        ba_static, st_in, xs.reshape(t, cs, 128), f,
-        n_stages=n_stages, time_chunk=time_chunk, interpret=interpret,
-    )
-    st_out = st_out.reshape(4 * n_stages, c)
-    new_states = [
-        Df1State(
-            x=jnp.stack([st_out[4 * n], st_out[4 * n + 1]], axis=-1),
-            y=jnp.stack([st_out[4 * n + 2], st_out[4 * n + 3]], axis=-1),
-        )
-        for n in range(n_stages)
-    ]
-    return new_states, ys.reshape(t, c)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("ba_static", "f", "n_stages", "time_chunk", "interpret"),
-)
-def _sos_bank_q_impl(ba_static, st_in, xs3, f, *, n_stages, time_chunk,
-                     interpret):
     def body(carry, x0, _extras):
         cur = x0
         rows_out = []
@@ -187,10 +181,19 @@ def _sos_bank_q_impl(ba_static, st_in, xs3, f, *, n_stages, time_chunk,
             cur = y0
         return jnp.stack(rows_out), cur
 
-    return _bank_call(
-        _seq_bank_kernel(body), st_in, xs3,
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )
+    st_out = st_out.reshape(4 * n_stages, c)
+    new_states = [
+        Df1State(
+            x=jnp.stack([st_out[4 * n], st_out[4 * n + 1]], axis=-1),
+            y=jnp.stack([st_out[4 * n + 2], st_out[4 * n + 3]], axis=-1),
+        )
+        for n in range(n_stages)
+    ]
+    return new_states, ys.reshape(t, c)
 
 
 def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,

@@ -269,14 +269,35 @@ def _wdf_chain_bank_impl(stages, states, xs, *, time_chunk, interpret):
 def wdf_pair_bank(branch0, branch1, states, xs, *, time_chunk: int = 256,
                   interpret: bool = False):
     """Complementary allpass pair (`wdf.pair_block` fast path): both
-    branches through Pallas chain kernels, butterfly outside (XLA fuses
-    the elementwise sum/difference).
+    branch chain kernels and the butterfly in ONE jit (separate jits
+    pay a full dispatch round trip each on the axon tunnel).
 
     Returns ((s0, s1), (sum, diff)) bit-identical to `wdf.pair_block`.
     """
-    s0, s1 = states
-    s0, y0 = wdf_chain_bank(branch0, s0, xs, time_chunk=time_chunk,
-                            interpret=interpret)
-    s1, y1 = wdf_chain_bank(branch1, s1, xs, time_chunk=time_chunk,
-                            interpret=interpret)
+    import numpy as _np
+
+    def freeze(branch):
+        return tuple(
+            (tuple(Tpa(t) for t in tpas),
+             tuple(int(v) for v in _np.asarray(a).reshape(-1)))
+            for tpas, a in branch
+        )
+
+    return _wdf_pair_bank_impl(
+        freeze(branch0), freeze(branch1), tuple(states[0]),
+        tuple(states[1]), xs, time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b0", "b1", "time_chunk", "interpret"),
+)
+def _wdf_pair_bank_impl(b0, b1, s0, s1, xs, *, time_chunk, interpret):
+    s0, y0 = _wdf_chain_bank_impl(
+        b0, s0, xs, time_chunk=time_chunk, interpret=interpret
+    )
+    s1, y1 = _wdf_chain_bank_impl(
+        b1, s1, xs, time_chunk=time_chunk, interpret=interpret
+    )
     return (s0, s1), (y0 + y1, y0 - y1)

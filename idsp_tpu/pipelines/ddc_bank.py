@@ -69,7 +69,10 @@ def init_biquad(n_channels: int) -> DdcBankBiquadState:
     )
 
 
-@partial(jax.jit, static_argnames=("decimate", "f", "ba_q", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("decimate", "f", "ba_q", "pll_ba", "interpret"),
+)
 def ddc_bank_block_biquad(
     state: DdcBankBiquadState,
     x,
@@ -85,8 +88,9 @@ def ddc_bank_block_biquad(
 
     Same structure as `ddc_bank_block` but the I/Q lowpass is the
     20+ GS/s `df1_bank_q` kernel (c must be a multiple of 64 so the
-    stacked I|Q bank is a multiple of 128).  ``ba_q`` is a STATIC tuple
-    of 5 ints (the kernel bakes coefficients as constants).
+    stacked I|Q bank is a multiple of 128).  ``ba_q`` and ``pll_ba``
+    are STATIC tuples of ints (the kernels bake coefficients as
+    constants; use `df1_bank_q_coef` for runtime retune).
     """
     from ..filters.biquad_pallas import df1_bank_q
 
@@ -106,7 +110,19 @@ def ddc_bank_block_biquad(
     yq_d = yiq[::decimate, c:]
 
     ph = atan2(yq_d, yi_d)
-    pll_state, _ = pll.block(pll_ba, state.pll, ph)
+    if (
+        c % 128 == 0
+        and ph.shape[0] % 8 == 0
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        from ..filters.pll_pallas import pll_bank
+
+        pll_state, _ = pll_bank(pll_ba, state.pll, ph)
+    else:
+        pll_state, _ = pll.block(
+            jnp.asarray(np.asarray(pll_ba, np.int64).astype(np.int32)),
+            state.pll, ph,
+        )
 
     new_state = DdcBankBiquadState(
         nco_phase=accu.advance(state.nco_phase, nco_steps, t),
@@ -116,7 +132,9 @@ def ddc_bank_block_biquad(
     return new_state, (yi_d, yq_d, pll.frequency(pll_state))
 
 
-@partial(jax.jit, static_argnames=("decimate",))
+@partial(
+    jax.jit, static_argnames=("decimate", "lp_gains", "pll_ba")
+)
 def ddc_bank_block(
     state: DdcBankState,
     x,
@@ -129,9 +147,14 @@ def ddc_bank_block(
     """Process one block. x: (t,) i32 wideband samples; t must be a
     multiple of `decimate`.
 
+    ``lp_gains`` and ``pll_ba`` are STATIC tuples of ints (they feed
+    Pallas kernels as baked constants on TPU).
+
     Returns (state, (i, q, phase, frequency)) at the decimated rate,
     each (t/decimate, c).
     """
+    lp_gains = np.asarray(lp_gains, np.int64).astype(np.int32)
+    pll_arr = jnp.asarray(np.asarray(pll_ba, np.int64).astype(np.int32))
     t = x.shape[0]
     c = state.nco_phase.shape[0]
     assert t % decimate == 0
@@ -144,8 +167,23 @@ def ddc_bank_block(
     mix_i = fxp.q_apply(lo_re, xi, 32)
     mix_q = fxp.q_apply(-lo_im, xi, 32)
 
-    lp_i, yi = lowpass.block(lp_gains, state.lp_i, mix_i)
-    lp_q, yq = lowpass.block(lp_gains, state.lp_q, mix_q)
+    use_kernels = c % 128 == 0 and jax.default_backend() in ("tpu", "axon")
+    if use_kernels:
+        # kernel path: one fused I|Q lowpass bank on 2c lanes
+        from ..filters.lowpass_pallas import lowpass_bank
+
+        lp_iq = lowpass.LowpassState(
+            p=jnp.concatenate([state.lp_i.p, state.lp_q.p], axis=0)
+        )
+        lp_iq, yiq = lowpass_bank(
+            lp_gains, lp_iq, jnp.concatenate([mix_i, mix_q], axis=1)
+        )
+        lp_i = lowpass.LowpassState(p=lp_iq.p[:c])
+        lp_q = lowpass.LowpassState(p=lp_iq.p[c:])
+        yi, yq = yiq[:, :c], yiq[:, c:]
+    else:
+        lp_i, yi = lowpass.block(jnp.asarray(lp_gains), state.lp_i, mix_i)
+        lp_q, yq = lowpass.block(jnp.asarray(lp_gains), state.lp_q, mix_q)
 
     # decimate (t, c) -> (t/d, c)
     yi_d = yi[::decimate]
@@ -153,7 +191,12 @@ def ddc_bank_block(
 
     # per-channel PLL on the residual carrier phase
     ph = atan2(yq_d, yi_d)
-    pll_state, y_pll = pll.block(pll_ba, state.pll, ph)
+    if use_kernels and ph.shape[0] % 8 == 0:
+        from ..filters.pll_pallas import pll_bank
+
+        pll_state, y_pll = pll_bank(pll_ba, state.pll, ph)
+    else:
+        pll_state, y_pll = pll.block(pll_arr, state.pll, ph)
 
     new_state = DdcBankState(
         nco_phase=accu.advance(state.nco_phase, nco_steps, t),

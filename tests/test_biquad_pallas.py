@@ -415,3 +415,48 @@ def test_pallas_wdf_pair_bank_bitexact():
     for br_pl, br_ref in zip(sts_pl, sts_ref):
         for a, b in zip(br_pl, br_ref):
             np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+
+
+def test_pallas_lowpass_bank_bitexact():
+    from idsp_tpu.filters import lowpass
+    from idsp_tpu.filters.lowpass_pallas import lowpass_bank
+
+    c, t = 128, 512
+    rng = np.random.default_rng(20)
+    xs = _rand_i32(rng, (t, c), lim=2**24)
+    for n, k in ((1, lowpass.gains1(0.01)), (2, lowpass.gains2(0.01))):
+        st = lowpass.LowpassState(
+            p=jnp.asarray(
+                rng.integers(-(2**40), 2**40, size=(c, n), dtype=np.int64)
+            )
+        )
+        st_ref, ys_ref = lowpass.block(jnp.asarray(k), st, xs)
+        st_pl, ys_pl = lowpass_bank(k, st, xs, time_chunk=128,
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+        np.testing.assert_array_equal(np.asarray(st_pl.p), np.asarray(st_ref.p))
+
+
+def test_pallas_lowpass_bank_saturating_input():
+    """Extreme inputs exercise the saturating subtract path."""
+    from idsp_tpu.filters import lowpass
+    from idsp_tpu.filters.lowpass_pallas import lowpass_bank
+
+    c, t = 128, 128
+    k = lowpass.gains2(0.2)
+    col = np.tile(
+        np.array([2**31 - 1, -(2**31), 2**31 - 1, 0], np.int64).astype(
+            np.int32
+        ),
+        t // 4,
+    )
+    xs = jnp.asarray(np.broadcast_to(col[:, None], (t, c)).copy())
+    st = lowpass.LowpassState(
+        p=jnp.asarray(
+            np.full((c, 2), -(2**55), np.int64)
+        )
+    )
+    st_ref, ys_ref = lowpass.block(jnp.asarray(k), st, xs)
+    st_pl, ys_pl = lowpass_bank(k, st, xs, time_chunk=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.p), np.asarray(st_ref.p))

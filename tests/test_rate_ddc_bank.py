@@ -70,8 +70,8 @@ def test_ddc_bank_acquires_offsets():
     x = ddc_bank.make_tone_bank(steps, n, amplitude=1 << 26, offsets=offsets)
 
     st = ddc_bank.init(c)
-    lp_gains = jnp.asarray(lowpass.gains2(0.001))
-    pll_ba = jnp.asarray(pll.coefficients_from_bandwidth(2e-2, 4.0))
+    lp_gains = tuple(int(v) for v in lowpass.gains2(0.001))
+    pll_ba = tuple(int(v) for v in pll.coefficients_from_bandwidth(2e-2, 4.0))
     st, (yi, yq, yp, freq) = ddc_bank.ddc_bank_block(
         st, x, jnp.asarray(steps), lp_gains, pll_ba, decimate=decim
     )
