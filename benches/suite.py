@@ -313,6 +313,23 @@ def main(argv=None):
     k2 = jnp.asarray(lowpass.gains2(0.01))
     run_trials("lowpass2", jax.jit(lambda st, xs: lowpass.block(k2, st, xs)),
                lowpass.init(2, (c,)), xs_i)
+    if c % 128 == 0:
+        from idsp_tpu.filters.lowpass_pallas import lowpass_bank
+
+        run_trials(
+            "lowpass1 (pallas)",
+            lambda st, xs: lowpass_bank(
+                lowpass.gains1(0.01), st, xs, time_chunk=tc
+            ),
+            lowpass.init(1, (c,)), xs_i,
+        )
+        run_trials(
+            "lowpass2 (pallas)",
+            lambda st, xs: lowpass_bank(
+                lowpass.gains2(0.01), st, xs, time_chunk=tc
+            ),
+            lowpass.init(2, (c,)), xs_i,
+        )
 
     # ---- WDF complementary allpass 7 (biquad.rs wdf-ca-7) ----
     tp = wdf.nibbles(0xAD, 2)
@@ -458,6 +475,8 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "q32 cascade4 (pallas)": "same",
         "lowpass1": "see biquad.rs:186-189",
         "lowpass2": "see biquad.rs:186-189",
+        "lowpass1 (pallas)": "same",
+        "lowpass2 (pallas)": "same",
         "wdf-ca-7 (scan)": "25.1 cyc/smp M7",
         "wdf-ca-7 (pallas)": "same",
         "pll bank (scan)": "per-sample loop",

@@ -511,19 +511,24 @@ def _wide_body(ba, f, clamp, carry, x0):
     x1, x2 = carry[0], carry[1]
     y0hi, y0lo = carry[2], _as_u32(carry[3])
     y1hi, y1lo = carry[4], _as_u32(carry[5])
-    b0, b1, b2, a1, a2 = (jnp.int32(v) for v in ba)
 
-    acc = _mul_i32_i32_to_i64(jnp.full_like(x0, b0), x0)
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b1), x1))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, b2), x2))
+    def coef(v):
+        # scalar (static) or (cs, 128) plane (runtime / per-channel)
+        return jnp.broadcast_to(jnp.asarray(v, jnp.int32), x0.shape)
+
+    b0, b1, b2, a1, a2 = (coef(v) for v in ba)
+
+    acc = _mul_i32_i32_to_i64(b0, x0)
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(b1, x1))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(b2, x2))
     # split-word a*y: ((y_lo as u64 * a) >> 32) + y_hi * a — the >>32 of
     # the u32*i32 product is exactly its high word, which fits in i32.
-    s0, _ = _mul_u32_i32_to_i64(y0lo, jnp.full_like(x0, a1))
+    s0, _ = _mul_u32_i32_to_i64(y0lo, a1)
     acc = _add_i64(acc, _sext32(s0))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, a1), y0hi))
-    s1, _ = _mul_u32_i32_to_i64(y1lo, jnp.full_like(x0, a2))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(a1, y0hi))
+    s1, _ = _mul_u32_i32_to_i64(y1lo, a2)
     acc = _add_i64(acc, _sext32(s1))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(jnp.full_like(x0, a2), y1hi))
+    acc = _add_i64(acc, _mul_i32_i32_to_i64(a2, y1hi))
     acc = _shl_i64(acc, 32 - f)
     y0 = acc[0]
     new_y0hi, new_y0lo = acc[0], acc[1]
@@ -725,5 +730,165 @@ def _df1_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, *, time_chunk,
     new_state = Df1State(
         x=jnp.stack([st_out[0], st_out[1]], axis=-1),
         y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
+
+
+def _coef_planes(ba_planes, c):
+    """Normalize runtime coefficients to a (5, c/128, 128) i32 stack."""
+    ba_planes = jnp.asarray(ba_planes, jnp.int32)
+    if ba_planes.ndim == 1:
+        ba_planes = jnp.broadcast_to(ba_planes[:, None], (5, c))
+    return ba_planes.reshape(5, c // 128, 128)
+
+
+def df1_clamp_bank_q_coef(ba_planes, state: Df1State, xs, f: int = 29, *,
+                          u: int = 0, lo: int, hi: int,
+                          time_chunk: int = 256, interpret: bool = False):
+    """Clamped DF1 bank with *runtime* coefficients (retune without
+    recompile; per-channel (5, c) planes supported).
+
+    Clamp bounds stay static (they are range constants, not tuning
+    targets — biquad.rs:121-157).  Bit-identical to `df1_clamp_bank_q`.
+    """
+    return _df1_clamp_bank_q_coef_impl(
+        _coef_planes(ba_planes, xs.shape[1]), state, xs, f,
+        int(u), int(lo), int(hi),
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("f", "u", "lo", "hi", "time_chunk", "interpret"),
+)
+def _df1_clamp_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, u, lo,
+                                hi, *, time_chunk, interpret):
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+
+    def body(carry, x0, extras):
+        (ba,) = extras
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_q((ba[0], ba[1], ba[2], ba[3], ba[4]),
+                      x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
+        return jnp.stack([x0, x1, y0, y1]), y0
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+        extra_in=(ba_planes,),
+    )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
+
+
+def df1_wide_bank_coef(ba_planes, state, xs, f: int = 29, *, clamp=None,
+                       time_chunk: int = 256, interpret: bool = False):
+    """Wide-state DF1 bank with *runtime* coefficients (shared (5,) or
+    per-channel (5, c)).  Bit-identical to `df1_wide_bank`."""
+    clamp_static = None if clamp is None else tuple(int(v) for v in clamp)
+    return _df1_wide_bank_coef_impl(
+        _coef_planes(ba_planes, xs.shape[1]), state, xs, f, clamp_static,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "clamp", "time_chunk", "interpret")
+)
+def _df1_wide_bank_coef_impl(ba_planes, state, xs, f, clamp, *, time_chunk,
+                             interpret):
+    from .biquad import Df1WideState
+
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    y0hi, y0lo = _split_i64_planes(state.y[..., 0])
+    y1hi, y1lo = _split_i64_planes(state.y[..., 1])
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], y0hi, y0lo, y1hi, y1lo], axis=0
+    ).reshape(6, cs, 128)
+
+    def body(carry, x0, extras):
+        (ba,) = extras
+        return _wide_body(
+            (ba[0], ba[1], ba[2], ba[3], ba[4]), f, clamp, carry, x0
+        )
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+        extra_in=(ba_planes,),
+    )
+    st_out = st_out.reshape(6, c)
+    new_state = Df1WideState(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack(
+            [_join_i64_planes(st_out[2], st_out[3]),
+             _join_i64_planes(st_out[4], st_out[5])],
+            axis=-1,
+        ),
+    )
+    return new_state, ys.reshape(t, c)
+
+
+def df1_dither_bank_coef(ba_planes, state, xs, f: int = 29, *, clamp=None,
+                         time_chunk: int = 256, interpret: bool = False):
+    """Noise-shaping DF1 bank with *runtime* coefficients (shared (5,)
+    or per-channel (5, c)).  Bit-identical to `df1_dither_bank`."""
+    clamp_static = None if clamp is None else tuple(int(v) for v in clamp)
+    return _df1_dither_bank_coef_impl(
+        _coef_planes(ba_planes, xs.shape[1]), state, xs, f, clamp_static,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "clamp", "time_chunk", "interpret")
+)
+def _df1_dither_bank_coef_impl(ba_planes, state, xs, f, clamp, *,
+                               time_chunk, interpret):
+    from .biquad import Df1DitherState
+
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    xy = state.xy
+    st_in = jnp.stack(
+        [xy.x[..., 0], xy.x[..., 1], xy.y[..., 0], xy.y[..., 1],
+         _as_i32(state.e)],
+        axis=0,
+    ).reshape(5, cs, 128)
+
+    def body(carry, x0, extras):
+        (ba,) = extras
+        return _dither_body(
+            (ba[0], ba[1], ba[2], ba[3], ba[4]), f, clamp, carry, x0
+        )
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+        extra_in=(ba_planes,),
+    )
+    st_out = st_out.reshape(5, c)
+    new_state = Df1DitherState(
+        xy=Df1State(
+            x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+            y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+        ),
+        e=_as_u32(st_out[4]),
     )
     return new_state, ys.reshape(t, c)

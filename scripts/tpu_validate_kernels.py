@@ -123,6 +123,48 @@ def main():
     print(f"retune recompiled: {n1 != n0}", flush=True)
     ok = ok and (n1 == n0)
 
+    # per-channel runtime-coefficient variants (clamp / wide / dither)
+    ba_pc = jnp.stack(
+        [
+            jnp.asarray(
+                biquad.quantize_ba(
+                    biquad.from_cookbook(
+                        Filter().critical_frequency(fc).lowpass()
+                    ),
+                    29,
+                )
+            )
+            for fc in np.linspace(0.02, 0.3, c)
+        ],
+        axis=1,
+    )  # (5, c)
+    ba_pc_t = jnp.moveaxis(ba_pc, 0, -1)
+
+    _, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.clamp_step(
+            biquad.df1_step_q(ba_pc_t, 29, s, x),
+            jnp.int32(u), jnp.int32(lo), jnp.int32(hi),
+        ),
+        st, xs,
+    )
+    _, ys = bp.df1_clamp_bank_q_coef(ba_pc, st, xs, 29, u=u, lo=lo, hi=hi,
+                                     time_chunk=128)
+    check("df1_clamp_bank_q_coef pc", ys, ys_ref)
+
+    stw_ref2, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_wide_step(ba_pc_t, 29, s, x), stw, xs
+    )
+    stw_pl2, ys = bp.df1_wide_bank_coef(ba_pc, stw, xs, 29, time_chunk=128)
+    check("df1_wide_bank_coef pc", ys, ys_ref)
+    check("df1_wide_bank_coef state.y", stw_pl2.y, stw_ref2.y)
+
+    std_ref2, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_dither_step(ba_pc_t, 29, s, x), std, xs
+    )
+    std_pl2, ys = bp.df1_dither_bank_coef(ba_pc, std, xs, 29, time_chunk=128)
+    check("df1_dither_bank_coef pc", ys, ys_ref)
+    check("df1_dither_bank_coef state.e", std_pl2.e, std_ref2.e)
+
     # PLL
     stp = pll.init((c,))
     pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))

@@ -460,3 +460,150 @@ def test_pallas_lowpass_bank_saturating_input():
     st_pl, ys_pl = lowpass_bank(k, st, xs, time_chunk=64, interpret=True)
     np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
     np.testing.assert_array_equal(np.asarray(st_pl.p), np.asarray(st_ref.p))
+
+
+def _ba_pc(c, f=29, lo_fc=0.02, hi_fc=0.3):
+    return jnp.stack(
+        [
+            jnp.asarray(
+                biquad.quantize_ba(
+                    biquad.from_cookbook(
+                        Filter().critical_frequency(fc).lowpass()
+                    ),
+                    f,
+                )
+            )
+            for fc in np.linspace(lo_fc, hi_fc, c)
+        ],
+        axis=1,
+    )  # (5, c)
+
+
+def test_pallas_clamp_coef_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import (
+        df1_clamp_bank_q,
+        df1_clamp_bank_q_coef,
+    )
+
+    c, t = 128, 256
+    rng = np.random.default_rng(21)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.Df1State(x=_rand_i32(rng, (c, 2)), y=_rand_i32(rng, (c, 2)))
+    u, lo, hi = 321, -(2**28), 2**28
+
+    st_ref, ys_ref = df1_clamp_bank_q(
+        ba_q, st, xs, 29, u=u, lo=lo, hi=hi, time_chunk=128, interpret=True
+    )
+    st_pl, ys_pl = df1_clamp_bank_q_coef(
+        ba_q, st, xs, 29, u=u, lo=lo, hi=hi, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+    # per-channel coefficients vs the scan
+    ba_pc = _ba_pc(c)
+
+    def step(s, x):
+        return biquad.clamp_step(
+            biquad.df1_step_q(jnp.moveaxis(ba_pc, 0, -1), 29, s, x),
+            jnp.int32(u), jnp.int32(lo), jnp.int32(hi),
+        )
+
+    st_ref2, ys_ref2 = jax.lax.scan(step, st, xs)
+    st_pl2, ys_pl2 = df1_clamp_bank_q_coef(
+        ba_pc, st, xs, 29, u=u, lo=lo, hi=hi, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl2), np.asarray(ys_ref2))
+    np.testing.assert_array_equal(np.asarray(st_pl2.y), np.asarray(st_ref2.y))
+
+
+def test_pallas_wide_coef_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import (
+        df1_wide_bank,
+        df1_wide_bank_coef,
+    )
+
+    c, t = 128, 256
+    rng = np.random.default_rng(22)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.Df1WideState(
+        x=_rand_i32(rng, (c, 2)),
+        y=jnp.asarray(
+            rng.integers(-(2**62), 2**62, size=(c, 2), dtype=np.int64)
+        ),
+    )
+    st_ref, ys_ref = df1_wide_bank(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+    st_pl, ys_pl = df1_wide_bank_coef(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+    # per-channel + clamp vs the scan
+    ba_pc = _ba_pc(c)
+    u, lo, hi = -5, -(2**27), 2**27
+    st2 = biquad.df1_wide_init((c,))
+    st_ref2, ys_ref2 = jax.lax.scan(
+        lambda s, x: biquad.df1_wide_clamp_step(
+            jnp.moveaxis(ba_pc, 0, -1), 29, s, x,
+            jnp.int32(u), jnp.int32(lo), jnp.int32(hi),
+        ),
+        st2, xs,
+    )
+    st_pl2, ys_pl2 = df1_wide_bank_coef(
+        ba_pc, st2, xs, 29, clamp=(u, lo, hi), time_chunk=128,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl2), np.asarray(ys_ref2))
+    np.testing.assert_array_equal(np.asarray(st_pl2.y), np.asarray(st_ref2.y))
+
+
+def test_pallas_dither_coef_bank_bitexact():
+    from idsp_tpu.filters.biquad_pallas import (
+        df1_dither_bank,
+        df1_dither_bank_coef,
+    )
+
+    c, t = 128, 256
+    rng = np.random.default_rng(23)
+    ba_q = _ba_q()
+    xs = _rand_i32(rng, (t, c))
+    st = biquad.Df1DitherState(
+        xy=biquad.Df1State(
+            x=_rand_i32(rng, (c, 2)), y=_rand_i32(rng, (c, 2))
+        ),
+        e=jnp.asarray(
+            rng.integers(0, 2**32, size=(c,), dtype=np.uint64).astype(
+                np.uint32
+            )
+        ),
+    )
+    st_ref, ys_ref = df1_dither_bank(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+    st_pl, ys_pl = df1_dither_bank_coef(
+        ba_q, st, xs, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_pl.e), np.asarray(st_ref.e))
+
+    # per-channel coefficients vs the scan
+    ba_pc = _ba_pc(c)
+    st_ref2, ys_ref2 = jax.lax.scan(
+        lambda s, x: biquad.df1_dither_step(
+            jnp.moveaxis(ba_pc, 0, -1), 29, s, x
+        ),
+        st, xs,
+    )
+    st_pl2, ys_pl2 = df1_dither_bank_coef(
+        ba_pc, st, xs, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_pl2), np.asarray(ys_ref2))
+    np.testing.assert_array_equal(
+        np.asarray(st_pl2.xy.y), np.asarray(st_ref2.xy.y)
+    )
+    np.testing.assert_array_equal(np.asarray(st_pl2.e), np.asarray(st_ref2.e))

@@ -114,3 +114,82 @@ def test_sweptsine_measures_lowpass_response():
     )
     # magnitude response recovered within 1 dB across the band
     assert np.median(np.abs(err_db)) < 1.0, np.median(np.abs(err_db))
+
+
+def test_sweptsine_end_to_end_ddc_channel_response():
+    # BASELINE #5 acceptance methodology end to end: a swept sine is
+    # upconverted onto one channel's carrier, pushed through the FULL
+    # DDC bank (NCO mix -> Lowpass2 -> PLL), and the channel transfer
+    # function recovered by swept-sine deconvolution must match an
+    # independent impulse-response measurement of the same channel
+    # filter (reference workflow: src/sweptsine.rs:83-101).
+    c, k0 = 4, 1
+    grid = 1 << 28  # carrier spacing 1/16 fs >> sweep stop + corner
+    steps = ((np.arange(c) + 2) * grid).astype(np.int64).astype(np.int32)
+    f0 = 0.01
+    lp_gains = tuple(int(v) for v in lowpass.gains2(f0))
+    pll_ba = tuple(int(v) for v in pll.coefficients_from_bandwidth(2e-2, 4.0))
+
+    sw = sweptsine.Sweep.fit(0.04, 100.0, 2.0)
+    n = int(sw.delay(100.0)) + 1
+    n -= n % 16
+    amp = 1 << 27
+
+    # stimulus: baseband sweep phase + carrier ramp, by phase additivity
+    phase_bb = (np.cumsum(np.asarray(sw.frequencies(n))) >> 32).astype(
+        np.int64
+    )
+    carrier = (int(steps[k0]) * np.arange(n, dtype=np.int64)) & 0xFFFFFFFF
+    total = ((phase_bb + carrier + 2**31) % 2**32 - 2**31).astype(np.int32)
+    from idsp_tpu.ops.trig import cossin
+
+    re, _ = cossin(jnp.asarray(total))
+    re = np.asarray(re)
+    x = jnp.asarray(((re.astype(np.int64) * amp) >> 31).astype(np.int32))
+
+    st = ddc_bank.init(c)
+    st, (yi, yq, _, _) = ddc_bank.ddc_bank_block(
+        st, x, jnp.asarray(steps), lp_gains, pll_ba, decimate=1
+    )
+    z = np.asarray(yi, np.float64)[:, k0] + 1j * np.asarray(yq, np.float64)[
+        :, k0
+    ]
+
+    # deconvolve: FFT * inverse filter at positive frequencies
+    nfft = 1 << (int(np.ceil(np.log2(n))) + 1)
+    zf = np.fft.fft(np.concatenate([z, np.zeros(nfft - n)]))
+    f = np.arange(1, nfft // 2) / nfft
+    inv_re, inv_im = sw.inverse_filter(jnp.asarray(f, jnp.float32))
+    h_meas = zf[1 : nfft // 2] * (
+        np.asarray(inv_re) + 1j * np.asarray(inv_im)
+    )
+
+    # independent reference: impulse response of the bare Lowpass2
+    imp = np.zeros(n, np.int32)
+    imp[0] = amp
+    _, h_t = lowpass.block(
+        jnp.asarray(np.asarray(lp_gains, np.int64).astype(np.int32)),
+        lowpass.init(2, ()),
+        jnp.asarray(imp),
+    )
+    h_ref = np.fft.rfft(
+        np.concatenate([np.asarray(h_t, np.float64), np.zeros(nfft - n)])
+    )[1 : nfft // 2]
+
+    band = (f > 0.004) & (f < 0.03)
+    ref_bin = int(np.argmin(np.abs(f - 0.005)))
+    meas_db = 20 * np.log10(
+        np.abs(h_meas[band]) / np.abs(h_meas[ref_bin])
+    )
+    want_db = 20 * np.log10(np.abs(h_ref[band]) / np.abs(h_ref[ref_bin]))
+    err = np.abs(meas_db - want_db)
+    assert np.median(err) < 1.0, np.median(err)
+    # rolloff visible: response at 0.03 is well below the passband
+    assert want_db[-1] < -12.0 and abs(meas_db[-1] - want_db[-1]) < 3.0
+
+    # channel isolation: the far channel (2 grid steps away) sees only
+    # stopband energy
+    z_far = np.asarray(yi, np.float64)[:, 3] + 1j * np.asarray(
+        yq, np.float64
+    )[:, 3]
+    assert (np.abs(z_far) ** 2).mean() < 0.02 * (np.abs(z) ** 2).mean()
