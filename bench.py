@@ -50,49 +50,78 @@ def main():
         )
     )
 
-    def make_chain(use_pallas: bool):
+    def make_chain(mode: str):
         def chain(state, x):
             bq_iq, dec_i, dec_q, phase0 = state
-            idx = (jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF).astype(
-                jnp.int32
-            )
+            if mode == "fused":
+                # fused NCO+mix+biquad Pallas kernel (f32 epilogue): miq
+                # never leaves VMEM, and the time-major (axis=0) HBF
+                # needs no transpose (ddc_pallas.py; bit-identical mix
+                # and filter semantics vs the unfused path)
+                from idsp_tpu.filters.ddc_pallas import ddc_mix_df1_bank
+
+                bq_iq, phase0, yiq = ddc_mix_df1_bank(
+                    ba_q, bq_iq, phase0, steps, x, 29, time_chunk=512,
+                    out_dtype=jnp.float32,
+                )
+                dec_i, ziq = hbf.hbf_dec_cascade(dec_i, yiq, axis=0)
+                new_state = (bq_iq, dec_i, dec_q, phase0)
+                return new_state, (ziq[:, :c], ziq[:, c:])
+            idx = (
+                jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF
+            ).astype(jnp.int32)
             phases = phase0[None, :] + steps[None, :] * idx[:, None]
             lo_re, lo_im = cossin(phases)
             xi = x[:, None]
             mi = fxp.q_apply(lo_re, xi, 32)
             mq = fxp.q_apply(-lo_im, xi, 32)
-            miq = jnp.concatenate([mi, mq], axis=1)  # (t, 2c) I|Q lanes
-            if use_pallas:
-                bq_iq, yiq = df1_bank_q(ba_q, bq_iq, miq, 29, time_chunk=512)
+            miq = jnp.concatenate([mi, mq], axis=1)  # (t, 2c) I|Q
+            if mode == "pallas":
+                bq_iq, yiq = df1_bank_q(
+                    ba_q, bq_iq, miq, 29, time_chunk=512
+                )
             else:
                 bq_iq, yiq = biquad.df1_process_q(
                     ba_q, 29, bq_iq, miq, unroll=8
                 )
+            phase0 = phase0 + steps * jnp.int32(t)
             fi = yiq[:, :c].astype(jnp.float32).T  # (c, t) for the conv path
             fq = yiq[:, c:].astype(jnp.float32).T
             dec_i, zi = hbf.hbf_dec_cascade(dec_i, fi)
             dec_q, zq = hbf.hbf_dec_cascade(dec_q, fq)
-            new_state = (bq_iq, dec_i, dec_q, phase0 + steps * jnp.int32(t))
+            new_state = (bq_iq, dec_i, dec_q, phase0)
             return new_state, (zi, zq)
 
         return jax.jit(chain)
 
-    state = (
-        biquad.df1_init((2 * c,), jnp.int32),
-        hbf.hbf_dec_cascade_init(3, (c,)),
-        hbf.hbf_dec_cascade_init(3, (c,)),
-        jnp.zeros((c,), jnp.int32),
-    )
+    def make_state(mode: str):
+        if mode == "fused":
+            return (
+                biquad.df1_init((2 * c,), jnp.int32),
+                hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0),
+                None,
+                jnp.zeros((c,), jnp.int32),
+            )
+        return (
+            biquad.df1_init((2 * c,), jnp.int32),
+            hbf.hbf_dec_cascade_init(3, (c,)),
+            hbf.hbf_dec_cascade_init(3, (c,)),
+            jnp.zeros((c,), jnp.int32),
+        )
 
-    # compile + warm; prefer the Pallas biquad bank, fall back to scan
-    try:
-        run = make_chain(True)
-        s, (zi, zq) = run(state, x)
-        _ = float(jnp.sum(zi))
-    except Exception:
-        run = make_chain(False)
-        s, (zi, zq) = run(state, x)
-        _ = float(jnp.sum(zi))
+    # compile + warm; prefer the fused mix+biquad kernel, then the
+    # plain Pallas bank, then the scan
+    run = None
+    for mode in ("fused", "pallas", "scan"):
+        try:
+            run = make_chain(mode)
+            state = make_state(mode)
+            s, (zi, zq) = run(state, x)
+            _ = float(jnp.sum(zi))
+            break
+        except Exception:
+            run = None
+    assert run is not None
 
     # Iteration differencing: time n1 and n2 chained dispatches and use
     # the difference — the fixed dispatch+readback overhead of the axon

@@ -1,0 +1,181 @@
+"""Fused NCO-mix + DF1-biquad Pallas kernel for the DDC chain front end.
+
+The headline chain (bench.py / examples analog: fm_disc.rs:126-140 runs
+the whole per-sample stack fused) previously materialized the mixed
+I/Q stream ``miq`` (t, 2c) in HBM between the XLA mix pass and the
+Pallas biquad bank — 2x128 MB of pure HBM traffic per 32 K block at
+c=512.  This kernel computes the mix *inside* the biquad kernel:
+
+* per time chunk, the NCO phase block is a closed-form ramp
+  ``phase0 + step * (i+1)`` built from an in-kernel iota (no scan);
+* `ops.trig.cossin` (octant fold + 128-entry select-chain LUT +
+  interpolation — pure elementwise jnp) traces directly into the
+  kernel, vectorized over the whole (tc, c) block at full VPU width;
+* the conjugate mix ``(cos*x)>>32, (-sin*x)>>32`` uses the exact
+  limb-emulated i64 product high word (== `fxp.q_apply(.., 32)`);
+* the mixed block lands in VMEM scratch and the sequential DF1 loop
+  consumes it without ever touching HBM.
+
+Bit-identical to the unfused ``cossin -> q_apply -> df1_bank_q``
+pipeline (same select-chain LUT, same truncations) — gated by
+tests/test_biquad_pallas.py and scripts/tpu_validate_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import trig
+from .biquad import Df1State
+from .biquad_pallas import _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32
+
+
+def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
+                     time_chunk: int = 512, interpret: bool = False,
+                     out_dtype=jnp.int32):
+    """Fused per-channel NCO mix + Q32 DF1 biquad bank.
+
+    Args:
+      ba: (5,) Q<f> coefficients (static, baked).
+      state: Df1State over 2c I|Q lanes (x/y (2c, 2) i32), c % 128 == 0.
+      phase0: (c,) i32 carried NCO phase (phase BEFORE the first sample;
+        sample i mixes with ``cossin(phase0 + steps*(i+1))`` — matching
+        the closed-form ramp convention in bench.py / pipelines).
+      steps: (c,) i32 per-channel NCO frequency words.
+      x: (t,) i32 wideband input.
+
+    Returns (new_state, new_phase0, yiq) with yiq (t, 2c) i32 —
+    bit-identical to mixing in XLA then running `df1_bank_q`.
+    """
+    import numpy as _np
+
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _ddc_mix_df1_bank_impl(
+        ba_static, state, phase0, steps, x, f,
+        time_chunk=time_chunk, interpret=interpret,
+        out_dtype=jnp.dtype(out_dtype),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "time_chunk", "interpret",
+                     "out_dtype"),
+)
+def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
+                           time_chunk, interpret, out_dtype=jnp.int32):
+    t = x.shape[0]
+    c = phase0.shape[0]
+    assert c % 128 == 0
+    cs = c // 128
+    cs2 = 2 * cs
+
+    # VMEM budget: x-in (tc,1,128) + y-out (tc,2cs,128) + miq scratch
+    # (tc,2cs,128), in/out double-buffered -> keep y-block <= ~2 MB.
+    vmem_cap = max(8, (10 * 2**20) // (24 * c))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk:
+        time_chunk //= 2
+    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
+    grid = (t // time_chunk,)
+    tc = time_chunk
+    unroll = 2
+
+    def kernel(pp_ref, st_in_ref, x_ref, y_ref, out_state_ref, state_ref,
+               miq_ref):
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+
+        # --- vectorized NCO + mix for the whole chunk -> VMEM scratch
+        idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (tc, cs, 128), 0)
+            + tq * jnp.int32(tc)
+            + 1
+        )
+        phase = pp_ref[0][None] + pp_ref[1][None] * idx  # wrapping i32
+        cos, sin = trig.cossin(phase, lookup="select")
+        xb = jnp.broadcast_to(x_ref[...], (tc, cs, 128))
+        mi = _mul_i32_i32_to_i64(cos, xb)[0]  # (cos*x) >> 32, exact
+        mq = _mul_i32_i32_to_i64(-sin, xb)[0]
+        miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
+
+        # --- sequential DF1 over the chunk (state in scratch) ---
+        def step(j, carry):
+            for u in range(unroll):
+                i = j * unroll + u
+                x0 = miq_ref[i]
+                x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+                carry = jnp.stack([x0, x1, y0, y1])
+                y_ref[i] = y0.astype(out_dtype)
+            return carry
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+
+    pp = jnp.stack([phase0, steps], axis=0).reshape(2, cs, 128)
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs2, 128)
+    xb = jnp.broadcast_to(x[:, None, None], (t, 1, 128))
+
+    def fixed(r, ncs):
+        return pl.BlockSpec(
+            (r, ncs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    ys, st_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed(2, cs),
+            fixed(4, cs2),
+            pl.BlockSpec(
+                (tc, 1, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            fixed(4, cs2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, cs2, 128), out_dtype),
+            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, cs2, 128), jnp.int32),
+            pltpu.VMEM((tc, cs2, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pp, st_in, xb)
+
+    st_out = st_out.reshape(4, 2 * c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    new_phase0 = phase0 + steps * jnp.int32(t)
+    return new_state, new_phase0, ys.reshape(t, 2 * c)

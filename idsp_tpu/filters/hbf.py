@@ -8,7 +8,10 @@ impulse-response tail (hbf.rs:93-101 `copy_within`), and the convolution
 is M shifted-slice FMAs fused by XLA on the VPU (M = 2..23).
 
 Conventions:
-* time on the LAST axis (lanes); leading axes are channels.
+* time on the LAST axis (lanes) by default; leading axes are channels.
+  Every block/cascade also takes ``axis=0`` for a time-major (t, c)
+  layout (shifted slices along sublanes) — used by the fused DDC chain
+  to skip the (t, c) -> (c, t) transpose.
 * a decimator consumes 2n samples -> n, an interpolator n -> 2n.
 * tap tables `HBF_TAPS` / `HBF_TAPS_98` are the published filter
   designs from the reference (hbf.rs:258-349; scipy remez, 140 dB /
@@ -79,43 +82,50 @@ def fir_len(m: int, odd: bool) -> int:
     return 2 * m - 1 + int(odd)
 
 
-def symmetric_fir(taps, x_ext, *, odd: bool, sym: bool):
+def symmetric_fir(taps, x_ext, *, odd: bool, sym: bool, axis: int = -1):
     """Linear-phase FIR over a tail-extended block (hbf.rs:46-68).
 
-    ``x_ext`` has ``n + LEN`` samples on the last axis; returns n outputs
+    ``x_ext`` has ``n + LEN`` samples on the time axis; returns n outputs
     y[j] = sum_i c[i]*(x[j+L-i] +/- x[j+i]) (+ x[j+M] center for odd
     symmetric).  Taps run small (far from center) to large (center).
+
+    ``axis`` selects the time axis: -1 (lanes; channels lead) or 0
+    (time-major (t, c) — shifted slices run along sublanes, letting the
+    chain skip the (t, c) -> (c, t) transpose entirely).
     """
     taps = np.asarray(taps)
     m = taps.shape[0]
     ln = fir_len(m, odd)
-    n = x_ext.shape[-1] - ln
+    n = x_ext.shape[axis] - ln
     acc = None
     for i in range(m):
-        a = jax.lax.slice_in_dim(x_ext, i, i + n, axis=-1)
-        b = jax.lax.slice_in_dim(x_ext, ln - i, ln - i + n, axis=-1)
+        a = jax.lax.slice_in_dim(x_ext, i, i + n, axis=axis)
+        b = jax.lax.slice_in_dim(x_ext, ln - i, ln - i + n, axis=axis)
         term = (b + a if sym else b - a) * taps[i]
         acc = term if acc is None else acc + term
     if odd and sym:
-        acc = acc + jax.lax.slice_in_dim(x_ext, m, m + n, axis=-1)
+        acc = acc + jax.lax.slice_in_dim(x_ext, m, m + n, axis=axis)
     return acc
 
 
-def fir_init(m: int, odd: bool, shape=(), dtype=jnp.float32):
-    """Tail state for a plain (non-rate-changing) FIR stage: LEN samples."""
-    return jnp.zeros(shape + (fir_len(m, odd),), dtype)
+def fir_init(m: int, odd: bool, shape=(), dtype=jnp.float32, axis: int = -1):
+    """Tail state for a plain (non-rate-changing) FIR stage: LEN samples
+    on the time axis (last, or first for the time-major layout)."""
+    ln = (fir_len(m, odd),)
+    return jnp.zeros(ln + shape if axis == 0 else shape + ln, dtype)
 
 
-def fir_block(taps, state, x, *, odd: bool, sym: bool):
+def fir_block(taps, state, x, *, odd: bool, sym: bool, axis: int = -1):
     """Streaming FIR: prepend the carried tail, convolve, carry the new
     tail (the overlap-save form of hbf.rs:93-101).
 
     Returns (new_state, y) with y the same length as x.
     """
-    ext = jnp.concatenate([state, x], axis=-1)
-    y = symmetric_fir(taps, ext, odd=odd, sym=sym)
-    ln = state.shape[-1]
-    return jax.lax.slice_in_dim(ext, ext.shape[-1] - ln, ext.shape[-1], axis=-1), y
+    ext = jnp.concatenate([state, x], axis=axis)
+    y = symmetric_fir(taps, ext, odd=odd, sym=sym, axis=axis)
+    ln = state.shape[axis]
+    ne = ext.shape[axis]
+    return jax.lax.slice_in_dim(ext, ne - ln, ne, axis=axis), y
 
 
 # --- half-band decimator / interpolator (hbf.rs:140-236) --------------------
@@ -128,32 +138,43 @@ class HbfDecState(NamedTuple):
     even: jax.Array
 
 
-def hbf_dec_init(m: int, shape=(), dtype=jnp.float32) -> HbfDecState:
+def hbf_dec_init(m: int, shape=(), dtype=jnp.float32,
+                 axis: int = -1) -> HbfDecState:
+    if axis == 0:
+        return HbfDecState(
+            odd=jnp.zeros((2 * m - 1,) + shape, dtype),
+            even=jnp.zeros((max(m - 1, 0),) + shape, dtype),
+        )
     return HbfDecState(
         odd=jnp.zeros(shape + (2 * m - 1,), dtype),
         even=jnp.zeros(shape + (max(m - 1, 0),), dtype),
     )
 
 
-def hbf_dec_block(taps, state: HbfDecState, x):
+def hbf_dec_block(taps, state: HbfDecState, x, *, axis: int = -1):
     """Decimate-by-2 (hbf.rs:156-192): even samples bypass through a
     center-tap delay of M-1, odd samples run the symmetric FIR.
 
-    x: (..., 2n) full-rate samples; returns (state, (..., n)).
+    x: 2n full-rate samples on the time axis; returns (state, n).
     """
     taps = np.asarray(taps)
     m = taps.shape[0]
-    even_new = x[..., 0::2]
-    odd_new = x[..., 1::2]
-    odd_ext = jnp.concatenate([state.odd, odd_new], axis=-1)
-    even_ext = jnp.concatenate([state.even, even_new], axis=-1)
-    y = symmetric_fir(taps, odd_ext, odd=False, sym=True)
-    n = odd_new.shape[-1]
-    y = y + even_ext[..., :n]
+    n2 = x.shape[axis]
+    even_new = jax.lax.slice_in_dim(x, 0, n2, stride=2, axis=axis)
+    odd_new = jax.lax.slice_in_dim(x, 1, n2, stride=2, axis=axis)
+    odd_ext = jnp.concatenate([state.odd, odd_new], axis=axis)
+    even_ext = jnp.concatenate([state.even, even_new], axis=axis)
+    y = symmetric_fir(taps, odd_ext, odd=False, sym=True, axis=axis)
+    n = odd_new.shape[axis]
+    y = y + jax.lax.slice_in_dim(even_ext, 0, n, axis=axis)
     return (
         HbfDecState(
-            odd=odd_ext[..., n:],
-            even=even_ext[..., n:],
+            odd=jax.lax.slice_in_dim(
+                odd_ext, n, odd_ext.shape[axis], axis=axis
+            ),
+            even=jax.lax.slice_in_dim(
+                even_ext, n, even_ext.shape[axis], axis=axis
+            ),
         ),
         y,
     )
@@ -165,38 +186,51 @@ class HbfIntState(NamedTuple):
     x: jax.Array
 
 
-def hbf_int_init(m: int, shape=(), dtype=jnp.float32) -> HbfIntState:
+def hbf_int_init(m: int, shape=(), dtype=jnp.float32,
+                 axis: int = -1) -> HbfIntState:
+    if axis == 0:
+        return HbfIntState(x=jnp.zeros((2 * m - 1,) + shape, dtype))
     return HbfIntState(x=jnp.zeros(shape + (2 * m - 1,), dtype))
 
 
-def hbf_int_block(taps, state: HbfIntState, x):
+def hbf_int_block(taps, state: HbfIntState, x, *, axis: int = -1):
     """Interpolate-by-2 (hbf.rs:208-236): FIR output in the even output
     slots, the M-delayed input (identity center tap) in the odd slots.
 
-    x: (..., n) low-rate samples; returns (state, (..., 2n)).
+    x: n low-rate samples on the time axis; returns (state, 2n).
     """
     taps = np.asarray(taps)
     m = taps.shape[0]
-    ext = jnp.concatenate([state.x, x], axis=-1)
-    fir = symmetric_fir(taps, ext, odd=False, sym=True)
-    n = x.shape[-1]
-    center = ext[..., m : m + n]
-    y = jnp.stack([fir, center], axis=-1).reshape(*fir.shape[:-1], 2 * n)
-    return HbfIntState(x=ext[..., n:]), y
+    ext = jnp.concatenate([state.x, x], axis=axis)
+    fir = symmetric_fir(taps, ext, odd=False, sym=True, axis=axis)
+    n = x.shape[axis]
+    center = jax.lax.slice_in_dim(ext, m, m + n, axis=axis)
+    if axis == 0:
+        y = jnp.stack([fir, center], axis=1).reshape(
+            (2 * n,) + fir.shape[1:]
+        )
+        new_tail = jax.lax.slice_in_dim(ext, n, ext.shape[0], axis=0)
+    else:
+        y = jnp.stack([fir, center], axis=-1).reshape(
+            *fir.shape[:-1], 2 * n
+        )
+        new_tail = ext[..., n:]
+    return HbfIntState(x=new_tail), y
 
 
 # --- cascades (hbf.rs:359-539) ----------------------------------------------
 
 
-def hbf_dec_cascade_init(depth: int, shape=(), dtype=jnp.float32, taps=HBF_TAPS):
+def hbf_dec_cascade_init(depth: int, shape=(), dtype=jnp.float32,
+                         taps=HBF_TAPS, axis: int = -1):
     """States for a 2**depth decimation cascade (highest rate first)."""
     return tuple(
-        hbf_dec_init(len(taps[d]), shape, dtype)
+        hbf_dec_init(len(taps[d]), shape, dtype, axis=axis)
         for d in reversed(range(depth))
     )
 
 
-def hbf_dec_cascade(states, x, taps=HBF_TAPS):
+def hbf_dec_cascade(states, x, taps=HBF_TAPS, *, axis: int = -1):
     """Decimate by 2**depth (depth = len(states)).
 
     Stage order is highest-rate/fewest-taps first (the reference's
@@ -207,25 +241,27 @@ def hbf_dec_cascade(states, x, taps=HBF_TAPS):
     cur = x
     for i, st in enumerate(states):
         t = taps[depth - 1 - i]
-        st2, cur = hbf_dec_block(t, st, cur)
+        st2, cur = hbf_dec_block(t, st, cur, axis=axis)
         new_states.append(st2)
     return tuple(new_states), cur
 
 
-def hbf_int_cascade_init(depth: int, shape=(), dtype=jnp.float32, taps=HBF_TAPS):
+def hbf_int_cascade_init(depth: int, shape=(), dtype=jnp.float32,
+                         taps=HBF_TAPS, axis: int = -1):
     """States for a 2**depth interpolation cascade (lowest rate first)."""
     return tuple(
-        hbf_int_init(len(taps[d]), shape, dtype) for d in range(depth)
+        hbf_int_init(len(taps[d]), shape, dtype, axis=axis)
+        for d in range(depth)
     )
 
 
-def hbf_int_cascade(states, x, taps=HBF_TAPS):
+def hbf_int_cascade(states, x, taps=HBF_TAPS, *, axis: int = -1):
     """Interpolate by 2**depth: lowest-rate/most-taps stage first
     (hbf.rs:476-512)."""
     new_states = []
     cur = x
     for i, st in enumerate(states):
-        st2, cur = hbf_int_block(taps[i], st, cur)
+        st2, cur = hbf_int_block(taps[i], st, cur, axis=axis)
         new_states.append(st2)
     return tuple(new_states), cur
 

@@ -163,3 +163,43 @@ def saturating_neg_i32(x):
     imin = jnp.int32(-2147483648)
     imax = jnp.int32(2147483647)
     return jnp.where(x == imin, imax, -x).astype(jnp.int32)
+
+
+# --- wire formats (dsp-fixedpoint/src/serde.rs) ------------------------------
+
+
+def q_to_wire(bits, f: int, *, mode: str = "raw"):
+    """Serialize Q<f> raw bits for a config/checkpoint wire format.
+
+    Mirrors the reference serde adapters (serde.rs:12-110):
+    * ``"raw"`` — the transparent default: the raw integer bits
+      (serde.rs derives `#[serde(transparent)]`-style raw ints);
+    * ``"f32"`` / ``"f64"`` — the `as_f32`/`as_f64` scaled wire modules:
+      the value as a scaled float (exact for f64 and any |bits| < 2^53).
+
+    Returns a plain numpy array (JSON-friendly via ``.tolist()``).
+    """
+    bits = np.asarray(bits)
+    if mode == "raw":
+        return bits
+    if mode == "f32":
+        return (bits.astype(np.float64) * 2.0 ** -f).astype(np.float32)
+    if mode == "f64":
+        return bits.astype(np.float64) * 2.0 ** -f
+    raise ValueError(f"unknown wire mode {mode!r}")
+
+
+def q_from_wire(wire, f: int, *, mode: str = "raw", dtype=jnp.int32):
+    """Deserialize a wire value back to Q<f> raw bits.
+
+    Raw mode wraps to the storage dtype (serde transparent raw ints);
+    float modes re-encode with round-half-away + saturation — the same
+    `from_f32/f64` path the reference's scaled modules use
+    (serde.rs:42-110, num_traits_impl.rs:30-62).
+    """
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    if mode == "raw":
+        return np.asarray(wire).astype(np.int64).astype(np_dtype)
+    if mode in ("f32", "f64"):
+        return from_float(np.asarray(wire, np.float64), f, dtype=dtype)
+    raise ValueError(f"unknown wire mode {mode!r}")

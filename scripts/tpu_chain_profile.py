@@ -162,11 +162,17 @@ def main():
             fn = jax.jit(chain_fn, donate_argnums=(0,))
         else:
             fn = jax.jit(chain_fn)
-        s, out = fn(st0, x, steps)
+        def fresh():
+            # donation invalidates the argument buffers: hand the jit a
+            # copy each trial
+            return jax.tree.map(jnp.copy, st0) if donate else st0
+
+        s, out = fn(fresh(), x, steps)
         sync(out)
         best = float("inf")
         for _ in range(3):
-            s = st0
+            s = fresh()
+            sync(s)
             t0 = time.perf_counter()
             for _ in range(iters):
                 s, out = fn(s, x, steps)
@@ -178,6 +184,27 @@ def main():
     bench_chain("FULL split-hbf", make_chain(False), st_split, False)
     bench_chain("FULL split-hbf donate", make_chain(False), st_split, True)
     bench_chain("FULL stacked-hbf donate", make_chain(True), st_stacked, True)
+
+    # fused mix+biquad kernel + time-major HBF (no transpose)
+    from idsp_tpu.filters.ddc_pallas import ddc_mix_df1_bank
+
+    def chain_fused(state, x, steps):
+        bq_iq, dec, phase0 = state
+        bq_iq, phase0, yiq = ddc_mix_df1_bank(
+            ba_q, bq_iq, phase0, steps, x, 29, time_chunk=512,
+            out_dtype=jnp.float32,
+        )
+        dec, ziq = hbf.hbf_dec_cascade(dec, yiq, axis=0)
+        return (bq_iq, dec, phase0), ziq
+
+    st_fused = (
+        biquad.df1_init((2 * c,), jnp.int32),
+        hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0),
+        jnp.zeros((c,), jnp.int32),
+    )
+    bench_chain("FULL fused mix+bq, t-major hbf", chain_fused, st_fused,
+                False)
+    bench_chain("FULL fused donate", chain_fused, st_fused, True)
 
 
 if __name__ == "__main__":

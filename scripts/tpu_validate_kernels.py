@@ -165,6 +165,31 @@ def main():
     check("df1_dither_bank_coef pc", ys, ys_ref)
     check("df1_dither_bank_coef state.e", std_pl2.e, std_ref2.e)
 
+    # fused NCO-mix + DF1 (ddc_pallas)
+    from idsp_tpu import fxp
+    from idsp_tpu.filters.ddc_pallas import ddc_mix_df1_bank
+    from idsp_tpu.ops.trig import cossin
+
+    xw = ri32((t,), lim=2**27)
+    steps = ri32((c,), lim=2**30)
+    phase0 = ri32((c,))
+    st2c = biquad.df1_init((2 * c,), jnp.int32)
+    idxv = (jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF).astype(
+        jnp.int32
+    )
+    phases = phase0[None, :] + steps[None, :] * idxv[:, None]
+    lo_re, lo_im = cossin(phases, lookup="select")
+    miq = jnp.concatenate(
+        [fxp.q_apply(lo_re, xw[:, None], 32),
+         fxp.q_apply(-lo_im, xw[:, None], 32)],
+        axis=1,
+    )
+    stf_ref, ysf_ref = bp.df1_bank_q(ba_q, st2c, miq, 29, time_chunk=128)
+    stf, pf, ysf = ddc_mix_df1_bank(ba_q, st2c, phase0, steps, xw, 29,
+                                    time_chunk=128)
+    check("ddc_mix_df1_bank", ysf, ysf_ref)
+    check("ddc_mix_df1_bank state.y", stf.y, stf_ref.y)
+
     # PLL
     stp = pll.init((c,))
     pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))

@@ -607,3 +607,52 @@ def test_pallas_dither_coef_bank_bitexact():
         np.asarray(st_pl2.xy.y), np.asarray(st_ref2.xy.y)
     )
     np.testing.assert_array_equal(np.asarray(st_pl2.e), np.asarray(st_ref2.e))
+
+
+def test_pallas_fused_mix_df1_bitexact():
+    # Fused NCO+mix+biquad kernel == XLA mix then df1_bank_q, bit-for-bit.
+    from idsp_tpu import fxp
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q
+    from idsp_tpu.filters.ddc_pallas import ddc_mix_df1_bank
+    from idsp_tpu.ops.trig import cossin
+
+    c, t = 128, 256
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    ba_q = _ba_q(0.02)
+    st = biquad.df1_init((2 * c,), jnp.int32)
+
+    idx = (jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF).astype(
+        jnp.int32
+    )
+    phases = phase0[None, :] + steps[None, :] * idx[:, None]
+    lo_re, lo_im = cossin(phases, lookup="select")
+    miq = jnp.concatenate(
+        [fxp.q_apply(lo_re, x[:, None], 32),
+         fxp.q_apply(-lo_im, x[:, None], 32)],
+        axis=1,
+    )
+    st_ref, ys_ref = df1_bank_q(ba_q, st, miq, 29, time_chunk=128,
+                                interpret=True)
+    st_f, p_f, ys_f = ddc_mix_df1_bank(
+        ba_q, st, phase0, steps, x, 29, time_chunk=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ys_f), np.asarray(ys_ref))
+    np.testing.assert_array_equal(np.asarray(st_f.y), np.asarray(st_ref.y))
+    np.testing.assert_array_equal(
+        np.asarray(p_f), np.asarray(phase0 + steps * jnp.int32(t))
+    )

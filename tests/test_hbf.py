@@ -136,3 +136,32 @@ def test_fir_types():
             np.testing.assert_allclose(h, h[::-1], atol=1e-7)
         else:
             np.testing.assert_allclose(h, -h[::-1], atol=1e-7)
+
+
+def test_hbf_time_major_matches_time_last():
+    # axis=0 (time-major, transpose-free) == axis=-1 transposed, for the
+    # dec and int cascades, across a block boundary (carried tails).
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    c, t, depth = 4, 256, 3
+    x = rng.normal(size=(c, t)).astype(np.float32)
+
+    st_l = hbf.hbf_dec_cascade_init(depth, (c,))
+    st_t = hbf.hbf_dec_cascade_init(depth, (c,), axis=0)
+    xa, xb = jnp.asarray(x[:, : t // 2]), jnp.asarray(x[:, t // 2:])
+    st_l, ya = hbf.hbf_dec_cascade(st_l, xa)
+    st_l, yb = hbf.hbf_dec_cascade(st_l, xb)
+    st_t, za = hbf.hbf_dec_cascade(st_t, xa.T, axis=0)
+    st_t, zb = hbf.hbf_dec_cascade(st_t, xb.T, axis=0)
+    np.testing.assert_allclose(np.asarray(za).T, np.asarray(ya), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(zb).T, np.asarray(yb), rtol=1e-6)
+
+    st_l = hbf.hbf_int_cascade_init(depth, (c,))
+    st_t = hbf.hbf_int_cascade_init(depth, (c,), axis=0)
+    st_l, ya = hbf.hbf_int_cascade(st_l, xa)
+    st_t, za = hbf.hbf_int_cascade(st_t, xa.T, axis=0)
+    st_l, yb = hbf.hbf_int_cascade(st_l, xb)
+    st_t, zb = hbf.hbf_int_cascade(st_t, xb.T, axis=0)
+    np.testing.assert_allclose(np.asarray(za).T, np.asarray(ya), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(zb).T, np.asarray(yb), rtol=1e-6)

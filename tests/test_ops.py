@@ -336,3 +336,25 @@ def test_checkpoint_structure_mismatch_raises(tmp_path):
             {"a": jnp.zeros((5,), jnp.int32),
              "b": jnp.ones((2,), jnp.float32)},
         )
+
+
+def test_q_wire_roundtrip():
+    # serde.rs wire adapters: raw is transparent & exact; f64 round-trips
+    # exactly for i32 (all i32 exact in f64); f32 re-encodes with
+    # round-half-away.
+    import numpy as np
+    from idsp_tpu import fxp
+
+    rng = np.random.default_rng(3)
+    bits = rng.integers(-(2**31), 2**31, size=64, dtype=np.int64).astype(
+        np.int32
+    )
+    for mode in ("raw", "f64"):
+        w = fxp.q_to_wire(bits, 29, mode=mode)
+        back = fxp.q_from_wire(w, 29, mode=mode)
+        np.testing.assert_array_equal(back, bits)
+    # f32 is lossy but must round-half-away like the Rust from_f32 path
+    w = fxp.q_to_wire(np.int32([3]), 2, mode="f32")  # 0.75 exactly
+    assert fxp.q_from_wire(w, 2, mode="f32")[0] == 3
+    # raw wraps into the storage dtype like serde's transparent ints
+    assert fxp.q_from_wire(np.int64([2**31]), 0)[0] == -(2**31)
