@@ -92,20 +92,33 @@ def ddc_bank_block_biquad(
     are STATIC tuples of ints (the kernels bake coefficients as
     constants; use `df1_bank_q_coef` for runtime retune).
     """
-    from ..filters.biquad_pallas import df1_bank_q
-
     t = x.shape[0]
     c = state.nco_phase.shape[0]
     assert t % decimate == 0
 
-    phases = jnp.swapaxes(accu.ramp(state.nco_phase, nco_steps, t), -1, -2)
-    lo_re, lo_im = cossin(phases)
-    xi = x[:, None]
-    mi = fxp.q_apply(lo_re, xi, 32)
-    mq = fxp.q_apply(-lo_im, xi, 32)
-    miq = jnp.concatenate([mi, mq], axis=1)
+    if c % 128 == 0:
+        # fused NCO+mix+biquad kernel: the mixed stream never leaves
+        # VMEM (ddc_pallas.py; bit-identical to the unfused path below)
+        from ..filters.ddc_pallas import ddc_mix_df1_bank
 
-    bq_state, yiq = df1_bank_q(ba_q, state.bq, miq, f, interpret=interpret)
+        bq_state, _, yiq = ddc_mix_df1_bank(
+            ba_q, state.bq, state.nco_phase, nco_steps, x, f,
+            interpret=interpret,
+        )
+    else:
+        from ..filters.biquad_pallas import df1_bank_q
+
+        phases = jnp.swapaxes(
+            accu.ramp(state.nco_phase, nco_steps, t), -1, -2
+        )
+        lo_re, lo_im = cossin(phases)
+        xi = x[:, None]
+        mi = fxp.q_apply(lo_re, xi, 32)
+        mq = fxp.q_apply(-lo_im, xi, 32)
+        miq = jnp.concatenate([mi, mq], axis=1)
+        bq_state, yiq = df1_bank_q(
+            ba_q, state.bq, miq, f, interpret=interpret
+        )
     yi_d = yiq[::decimate, :c]
     yq_d = yiq[::decimate, c:]
 
