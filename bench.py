@@ -53,6 +53,31 @@ def main():
     def make_chain(mode: str):
         def chain(state, x):
             bq_iq, dec_i, dec_q, phase0 = state
+            if mode == "split":
+                # Fastest measured composition (scripts/tpu_split_probe.py):
+                # XLA mix (cossin select chain fuses into the concat
+                # output buffer) -> Pallas DF1 bank with the f32 cast in
+                # the kernel epilogue -> time-major HBF (no transpose).
+                # The fully-fused mix+DF1 kernel (mode "fused") is
+                # slower: Mosaic materializes the 128-way cossin select
+                # chain at ~84 B/elem of scratch, ~2.3x XLA's cost.
+                idx = (
+                    jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF
+                ).astype(jnp.int32)
+                phases = phase0[None, :] + steps[None, :] * idx[:, None]
+                lo_re, lo_im = cossin(phases)
+                xi = x[:, None]
+                mi = fxp.q_apply(lo_re, xi, 32)
+                mq = fxp.q_apply(-lo_im, xi, 32)
+                miq = jnp.concatenate([mi, mq], axis=1)  # (t, 2c) I|Q
+                bq_iq, yiq = df1_bank_q(
+                    ba_q, bq_iq, miq, 29, time_chunk=512,
+                    out_dtype=jnp.float32,
+                )
+                dec_i, ziq = hbf.hbf_dec_cascade(dec_i, yiq, axis=0)
+                new_state = (bq_iq, dec_i, dec_q,
+                             phase0 + steps * jnp.int32(t))
+                return new_state, (ziq[:, :c], ziq[:, c:])
             if mode == "fused":
                 # fused NCO+mix+biquad Pallas kernel (f32 epilogue): miq
                 # never leaves VMEM, and the time-major (axis=0) HBF
@@ -95,7 +120,7 @@ def main():
         return jax.jit(chain)
 
     def make_state(mode: str):
-        if mode == "fused":
+        if mode in ("split", "fused"):
             return (
                 biquad.df1_init((2 * c,), jnp.int32),
                 hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0),
@@ -109,10 +134,10 @@ def main():
             jnp.zeros((c,), jnp.int32),
         )
 
-    # compile + warm; prefer the fused mix+biquad kernel, then the
-    # plain Pallas bank, then the scan
+    # compile + warm; prefer the measured-fastest split composition,
+    # then the fused mix+biquad kernel, the plain Pallas bank, the scan
     run = None
-    for mode in ("fused", "pallas", "scan"):
+    for mode in ("split", "fused", "pallas", "scan"):
         try:
             run = make_chain(mode)
             state = make_state(mode)

@@ -103,7 +103,7 @@ def _df1_bank_f32_impl(ba_static, state: Df1State, xs, *, time_chunk,
         b0, b1, b2, a1, a2 = (jnp.float32(v) for v in ba_static)
         x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
         y0 = b0 * x0 + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
-        return jnp.stack([x0, x1, y0, y1]), y0
+        return (x0, x1, y0, y1), y0
 
     # unroll=1: float MACs contract to FMAs differently across unrolled
     # instances (1-ULP drift), breaking the documented bit-match with
@@ -179,7 +179,7 @@ def _sos_bank_q_impl(ba_static, states, xs, f, *, time_chunk, interpret):
             y0 = _shr_i64_to_i32(acc[0], acc[1], f)
             rows_out.extend([cur, x1, y0, y1])
             cur = y0
-        return jnp.stack(rows_out), cur
+        return tuple(rows_out), cur
 
     ys, st_out = _bank_call(
         _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
@@ -197,7 +197,7 @@ def _sos_bank_q_impl(ba_static, states, xs, f, *, time_chunk, interpret):
 
 
 def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
-               interpret: bool = False):
+               interpret: bool = False, out_dtype=None):
     """Fixed-point DF1 biquad over a channel bank, Pallas fast path.
 
     Args:
@@ -209,6 +209,9 @@ def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
       time_chunk: VMEM time-block size; keep time_chunk * c * 4 bytes
         around <= 2 MB (in + out blocks are double-buffered in ~16 MB
         of VMEM; (2048, 1024) i32 blocks fail to fit).
+      out_dtype: optional output dtype; f32 casts in the kernel
+        epilogue (free — saves a separate XLA cast pass when the next
+        stage is a float FIR).  State update stays exact i32.
 
     Returns: (state, ys) bit-identical to `df1_process_q` scanned.
     """
@@ -216,15 +219,18 @@ def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
 
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
     return _df1_bank_q_impl(
-        ba_static, state, xs, f, time_chunk=time_chunk, interpret=interpret
+        ba_static, state, xs, f, time_chunk=time_chunk, interpret=interpret,
+        out_dtype=None if out_dtype is None else jnp.dtype(out_dtype),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ba_static", "f", "time_chunk", "interpret")
+    jax.jit,
+    static_argnames=("ba_static", "f", "time_chunk", "interpret",
+                     "out_dtype"),
 )
 def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
-                     time_chunk: int, interpret: bool):
+                     time_chunk: int, interpret: bool, out_dtype=None):
     t, c = xs.shape
     assert c % 128 == 0, "channel count must be a multiple of 128"
     cs = c // 128
@@ -237,11 +243,12 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
         x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
         acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
         y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-        return jnp.stack([x0, x1, y0, y1]), y0
+        y = y0 if out_dtype is None else y0.astype(out_dtype)
+        return (x0, x1, y0, y1), y
 
     ys, st_out = _bank_call(
         _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
-        time_chunk=time_chunk, interpret=interpret,
+        time_chunk=time_chunk, interpret=interpret, out_dtype=out_dtype,
     )
     st_out = st_out.reshape(4, c)
     new_state = Df1State(
@@ -322,14 +329,17 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
 def _seq_bank_kernel(body, unroll: int = 2):
     """Wrap a per-chunk ``body(carry, x_row, extra_rows) -> (carry, y)``
     into the standard sequential bank kernel (state in scratch across
-    grid steps, packed single-array carry, i32 fori bounds).
+    grid steps, packed single-array fori carry, i32 fori bounds).
 
-    ``unroll`` statically unrolls the time loop: the per-step dependent
-    chain (MACs -> shift -> state) leaves the VPU idle between
-    iterations; unrolling by 2 lets Mosaic interleave two steps'
-    independent work and measures ~2.9x on v5e (scripts/
-    tpu_unroll_exp.py: 24 -> 69 GS/s on the 1024-lane DF1 bank).
-    Time chunks are always a multiple of ``unroll`` (powers of two).
+    ``body`` receives the carry as a TUPLE of (cs, 128) rows and must
+    return a tuple of rows — the packed array exists only at the fori
+    boundary (tuple fori carries miscompile under a grid; see
+    CLAUDE.md).  Restacking the carry array every sample dominates the
+    sequential loop cost: unpacking once per unroll group and stacking
+    once on exit measures 24 -> 69 GS/s on the 1024-lane DF1 bank
+    (scripts/tpu_unroll_exp.py).  ``unroll`` additionally interleaves
+    independent work of adjacent steps.  Time chunks are always a
+    multiple of ``unroll`` (powers of two).
     """
 
     def kernel(*refs):
@@ -343,13 +353,15 @@ def _seq_bank_kernel(body, unroll: int = 2):
 
         extras = tuple(r[...] for r in extra_refs)
         tc = x_ref.shape[0]
+        rows = st_in_ref.shape[0]
 
-        def step(j, carry):
+        def step(j, packed):
+            carry = tuple(packed[r] for r in range(rows))
             for u in range(unroll):
                 i = j * unroll + u
                 carry, y = body(carry, x_ref[i], extras)
                 y_ref[i] = y
-            return carry
+            return jnp.stack(carry)
 
         st = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
@@ -471,7 +483,7 @@ def _df1_clamp_bank_q_impl(ba_static, state: Df1State, xs, f, u, lo, hi, *,
         acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
         y0 = _shr_i64_to_i32(acc[0], acc[1], f)
         y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
-        return jnp.stack([x0, x1, y0, y1]), y0
+        return (x0, x1, y0, y1), y0
 
     st_in = jnp.stack(
         [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
@@ -537,8 +549,7 @@ def _wide_body(ba, f, clamp, carry, x0):
         y0 = jnp.clip(y0 + u, lo, hi)
         new_y0hi = y0  # clamped output replaces the high word
     return (
-        jnp.stack([x0, x1, new_y0hi, _as_i32(new_y0lo), y0hi,
-                   _as_i32(y0lo)]),
+        (x0, x1, new_y0hi, _as_i32(new_y0lo), y0hi, _as_i32(y0lo)),
         y0,
     )
 
@@ -616,7 +627,7 @@ def _dither_body(ba, f, clamp, carry, x0):
     if clamp is not None:
         u, lo, hi = (jnp.int32(v) for v in clamp)
         y0 = jnp.clip(y0 + u, lo, hi)
-    return jnp.stack([x0, x1, y0, y1, _as_i32(e_new)]), y0
+    return (x0, x1, y0, y1, _as_i32(e_new)), y0
 
 
 def df1_dither_bank(ba, state, xs, f: int = 29, *, clamp=None,
@@ -719,7 +730,7 @@ def _df1_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, *, time_chunk,
             (ba[0], ba[1], ba[2], ba[3], ba[4]), x0, x1, x2, y1, y2
         )
         y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-        return jnp.stack([x0, x1, y0, y1]), y0
+        return (x0, x1, y0, y1), y0
 
     ys, st_out = _bank_call(
         _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
@@ -775,7 +786,7 @@ def _df1_clamp_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, u, lo,
                       x0, x1, x2, y1, y2)
         y0 = _shr_i64_to_i32(acc[0], acc[1], f)
         y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
-        return jnp.stack([x0, x1, y0, y1]), y0
+        return (x0, x1, y0, y1), y0
 
     st_in = jnp.stack(
         [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],

@@ -36,8 +36,8 @@ from .biquad_pallas import _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32
 
 
 def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
-                     time_chunk: int = 512, interpret: bool = False,
-                     out_dtype=jnp.int32):
+                     time_chunk: int = 512, mix_sub: int = 32,
+                     interpret: bool = False, out_dtype=jnp.int32):
     """Fused per-channel NCO mix + Q32 DF1 biquad bank.
 
     Args:
@@ -57,26 +57,31 @@ def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
     return _ddc_mix_df1_bank_impl(
         ba_static, state, phase0, steps, x, f,
-        time_chunk=time_chunk, interpret=interpret,
+        time_chunk=time_chunk, mix_sub=mix_sub, interpret=interpret,
         out_dtype=jnp.dtype(out_dtype),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ba_static", "f", "time_chunk", "interpret",
-                     "out_dtype"),
+    static_argnames=("ba_static", "f", "time_chunk", "mix_sub",
+                     "interpret", "out_dtype"),
 )
 def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
-                           time_chunk, interpret, out_dtype=jnp.int32):
+                           time_chunk, mix_sub, interpret,
+                           out_dtype=jnp.int32):
     t = x.shape[0]
     c = phase0.shape[0]
     assert c % 128 == 0
     cs = c // 128
     cs2 = 2 * cs
 
-    # VMEM budget: x-in (tc,1,128) + y-out (tc,2cs,128) + miq scratch
-    # (tc,2cs,128), in/out double-buffered -> keep y-block <= ~2 MB.
+    # VMEM budget: x-in (tc,1,128) + y-out (tc,2cs,128) double-buffered
+    # + miq scratch (tc,2cs,128) + the select-chain temporaries.  The
+    # mix runs in mix_sub-row sub-chunks precisely so those temporaries
+    # (~84 B per sample-channel of scoped VMEM when the whole chunk is
+    # mixed at once — 22 MB at tc=512, c=512!) stay bounded by the
+    # sub-chunk, not the chunk.
     vmem_cap = max(8, (10 * 2**20) // (24 * c))
     while time_chunk > vmem_cap:
         time_chunk //= 2
@@ -86,6 +91,9 @@ def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
     grid = (t // time_chunk,)
     tc = time_chunk
     unroll = 2
+    sub = max(8, min(mix_sub, tc))
+    while tc % sub:
+        sub //= 2
 
     def kernel(pp_ref, st_in_ref, x_ref, y_ref, out_state_ref, state_ref,
                miq_ref):
@@ -96,30 +104,41 @@ def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
         def _():
             state_ref[...] = st_in_ref[...]
 
-        # --- vectorized NCO + mix for the whole chunk -> VMEM scratch
-        idx = (
-            jax.lax.broadcasted_iota(jnp.int32, (tc, cs, 128), 0)
-            + tq * jnp.int32(tc)
-            + 1
-        )
-        phase = pp_ref[0][None] + pp_ref[1][None] * idx  # wrapping i32
-        cos, sin = trig.cossin(phase, lookup="select")
-        xb = jnp.broadcast_to(x_ref[...], (tc, cs, 128))
-        mi = _mul_i32_i32_to_i64(cos, xb)[0]  # (cos*x) >> 32, exact
-        mq = _mul_i32_i32_to_i64(-sin, xb)[0]
-        miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
+        # --- vectorized NCO + mix -> VMEM scratch, in sub-chunks of
+        # `sub` rows: each sub-chunk is an independent full-width
+        # elementwise pass (latency of the 128-way select chain hides
+        # across rows) while Mosaic's temporaries stay ~84 B * sub * c
+        # instead of ~84 B * tc * c (which spills past scoped VMEM).
+        for s in range(tc // sub):
+            idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (sub, cs, 128), 0)
+                + tq * jnp.int32(tc)
+                + jnp.int32(s * sub + 1)
+            )
+            phase = pp_ref[0][None] + pp_ref[1][None] * idx  # wrapping i32
+            cos, sin = trig.cossin(phase, lookup="select")
+            xb = jnp.broadcast_to(
+                x_ref[s * sub:(s + 1) * sub], (sub, cs, 128)
+            )
+            mi = _mul_i32_i32_to_i64(cos, xb)[0]  # (cos*x) >> 32, exact
+            mq = _mul_i32_i32_to_i64(-sin, xb)[0]
+            miq_ref[s * sub:(s + 1) * sub] = jnp.concatenate(
+                [mi, mq], axis=1
+            )
 
         # --- sequential DF1 over the chunk (state in scratch) ---
-        def step(j, carry):
+        def step(j, packed):
+            # unpack once per unroll group (see _seq_bank_kernel)
+            carry = tuple(packed[r] for r in range(4))
             for u in range(unroll):
                 i = j * unroll + u
                 x0 = miq_ref[i]
-                x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+                x1, x2, y1, y2 = carry
                 acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
                 y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-                carry = jnp.stack([x0, x1, y0, y1])
+                carry = (x0, x1, y0, y1)
                 y_ref[i] = y0.astype(out_dtype)
-            return carry
+            return jnp.stack(carry)
 
         st = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]

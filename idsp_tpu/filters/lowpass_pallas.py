@@ -51,7 +51,7 @@ def _lp_body(k_static, n, carry, x0):
         p0 = _add_i64(p0, d)
         y = p0[0]
         p0 = _add_i64(p0, d)
-        return jnp.stack([p0[0], _as_i32(p0[1])]), y
+        return (p0[0], _as_i32(p0[1])), y
     k1 = jnp.int32(k_static[1])
     p1 = (carry[2], _as_u32(carry[3]))
     d = _add_i64(d, _mul_i32_i32_to_i64(p1[0], jnp.full_like(x0, k1)))
@@ -61,7 +61,7 @@ def _lp_body(k_static, n, carry, x0):
     p0 = _add_i64(p0, p1)
     p1 = _add_i64(p1, d)
     return (
-        jnp.stack([p0[0], _as_i32(p0[1]), p1[0], _as_i32(p1[1])]),
+        (p0[0], _as_i32(p0[1]), p1[0], _as_i32(p1[1])),
         y,
     )
 

@@ -86,10 +86,8 @@ def _pll_body(ba, carry, x):
     # DC pole
     fr_new = _add_i64(fr, f0_new)
 
-    new_carry = jnp.stack(
-        [xi, ccl, z0_new, y0_new, f0_new[0], _as_i32(f0_new[1]),
-         fr_new[0], _as_i32(fr_new[1]), y]
-    )
+    new_carry = (xi, ccl, z0_new, y0_new, f0_new[0], _as_i32(f0_new[1]),
+                 fr_new[0], _as_i32(fr_new[1]), y)
     return new_carry, y
 
 

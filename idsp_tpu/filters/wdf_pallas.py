@@ -74,23 +74,32 @@ def _wdf_kernel(
 
     tc = x_ref.shape[0]
     n = len(tpas)
+    unroll = 2
 
-    def body(i, carry):
-        cur = x_ref[i]
-        rows = [None] * n
-        y_out = None
-        for j in range(n):
-            w, nxt = _adapt_static(tpas[j], cur, carry[j], coeffs[j])
-            if j == 0:
-                y_out = w
-            else:
-                rows[j - 1] = w
-            cur = nxt
-        rows[n - 1] = cur
-        y_ref[i] = y_out
-        return jnp.stack(rows)
+    def body(j, packed):
+        # unpack once per unroll group; restacking the carry every
+        # sample dominates the loop cost (see _seq_bank_kernel)
+        carry = tuple(packed[r] for r in range(n))
+        for u in range(unroll):
+            i = j * unroll + u
+            cur = x_ref[i]
+            rows = [None] * n
+            y_out = None
+            for j2 in range(n):
+                w, nxt = _adapt_static(tpas[j2], cur, carry[j2], coeffs[j2])
+                if j2 == 0:
+                    y_out = w
+                else:
+                    rows[j2 - 1] = w
+                cur = nxt
+            rows[n - 1] = cur
+            y_ref[i] = y_out
+            carry = tuple(rows)
+        return jnp.stack(carry)
 
-    st = jax.lax.fori_loop(jnp.int32(0), jnp.int32(tc), body, state_ref[...])
+    st = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(tc // unroll), body, state_ref[...]
+    )
     state_ref[...] = st
 
     @pl.when(tq == n_t - 1)
@@ -206,7 +215,7 @@ def _chain_body(stages, carry, x0):
         rows_out.extend(stage_rows)
         base += n
         cur = y_out
-    return jnp.stack(rows_out), cur
+    return tuple(rows_out), cur
 
 
 def wdf_chain_bank(stages, states, xs, *, time_chunk: int = 256,

@@ -34,18 +34,26 @@ def _i32(x):
 
 
 def _cossin_lut_planes():
-    """The packed LUT split into exact-in-f32 u16 planes (cos-excess,
-    sin), used by the one-hot-matmul lookup."""
+    """The packed LUT split into u8 planes (cos lo/hi, sin lo/hi), used
+    by the one-hot-matmul lookup.  u8 values are exact even in bf16
+    matmul passes — the TPU MXU's default f32 precision decomposes to
+    bf16 products, which round u16-sized planes (observed bit-mismatch
+    on a real v5e; scripts/tpu_mix_probe.py)."""
     t = luts.cossin_table().astype(np.int64)
-    return np.stack([t & 0xFFFF, t >> 16], axis=1).astype(np.float32)
+    return np.stack(
+        [t & 0xFF, (t >> 8) & 0xFF, (t >> 16) & 0xFF, (t >> 24) & 0xFF],
+        axis=1,
+    ).astype(np.float32)
 
 
 def _lut_lookup_dot(idx):
     """128-entry LUT lookup as a one-hot matmul on the MXU.
 
-    XLA's TPU gather lowering for per-element lookups can be very slow;
-    a (N, 128) one-hot against the (128, 2) u16-plane table is exact
-    (single non-zero term, values <= 65535 < 2^24) and rides the MXU.
+    A (N, 128) one-hot against the (128, 4) u8-plane table is exact
+    (single non-zero term, values <= 255 exact in bf16) on every
+    backend.  NOTE: measured 12x SLOWER than "select" on a real v5e —
+    XLA materializes the one-hot instead of fusing it into the matmul
+    tiles; kept as a correctness cross-check, not a fast path.
     Returns (cos_plane, sin_plane) as i32.
     """
     oh = jax.nn.one_hot(idx, 1 << luts.COSSIN_DEPTH, dtype=jnp.float32)
@@ -54,8 +62,37 @@ def _lut_lookup_dot(idx):
         oh,
         jnp.asarray(_cossin_lut_planes()),
         preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    return (
+        planes[..., 0] + (planes[..., 1] << 8),
+        planes[..., 2] + (planes[..., 3] << 8),
     )
-    return planes[..., 0].astype(jnp.int32), planes[..., 1].astype(jnp.int32)
+
+
+def _lut_lookup_tree(idx):
+    """128-entry LUT lookup as a 7-level binary select tree.
+
+    127 selects + 7 bit-tests versus the flat chain's 128 compares +
+    128 selects (~1.9x fewer VPU ops).  Level 0 selects between pairs
+    of scalar table constants by idx bit 0; each higher level halves
+    the candidate set by the next bit.  Bit-identical to the chain.
+    """
+    packed_i32 = luts.cossin_table().view(np.int32)  # bit reinterpret
+    bits = [(idx & (1 << k)) != 0 for k in range(7)]
+    level = [
+        jnp.where(
+            bits[0], jnp.int32(packed_i32[2 * j + 1]),
+            jnp.int32(packed_i32[2 * j]),
+        )
+        for j in range(64)
+    ]
+    for k in range(1, 7):
+        level = [
+            jnp.where(bits[k], level[2 * j + 1], level[2 * j])
+            for j in range(len(level) // 2)
+        ]
+    u = level[0].astype(jnp.uint32)
+    return (u & 0xFFFF).astype(jnp.int32), (u >> 16).astype(jnp.int32)
 
 
 def _lut_lookup_select(idx):
@@ -116,6 +153,9 @@ def cossin(phase, *, lookup: str | None = None):
 
     if lookup == "dot":
         cos_plane, sin = _lut_lookup_dot(idx)
+        cos = cos_plane + (1 << 16)
+    elif lookup == "tree":
+        cos_plane, sin = _lut_lookup_tree(idx)
         cos = cos_plane + (1 << 16)
     elif lookup == "select":
         cos_plane, sin = _lut_lookup_select(idx)

@@ -157,3 +157,24 @@ def test_shapes_preserved(shape):
     assert c.shape == shape and s.shape == shape
     r = atan2(np.ones(shape, dtype=np.int32), np.ones(shape, dtype=np.int32))
     assert r.shape == shape
+
+
+def test_cossin_lookup_strategies_bit_identical():
+    # All four LUT access strategies must agree bit-for-bit (trig.py:
+    # gather / select / tree / dot).  Random phases plus the octant
+    # seams where the fold/unfold logic switches.
+    rng = np.random.default_rng(7)
+    seams = np.arange(8, dtype=np.int64) * (1 << 29)
+    phase = np.concatenate(
+        [
+            rng.integers(-(2**31), 2**31, size=(1 << 16,), dtype=np.int64),
+            seams - 1, seams, seams + 1,
+        ]
+    ).astype(np.int32)
+    ref_c, ref_s = cossin(phase, lookup="gather")
+    for lk in ("select", "tree", "dot"):
+        c, s = cossin(phase, lookup=lk)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(ref_c),
+                                      err_msg=lk)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s),
+                                      err_msg=lk)
