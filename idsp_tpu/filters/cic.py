@@ -88,18 +88,28 @@ def settle_decimate(rate: int, n: int, m: int, x, shape=(), dtype=jnp.int32):
     raise NotImplementedError("settle_decimate is unimplemented (as in the reference)")
 
 
-def _comb_chain(combs, x):
+def _comb_chain(combs, x, axis: int = -1):
     """Run the comb cascade on a slow-rate block. combs: (..., N, M)
-    carried delay lines; x: (..., t). Returns (new_combs, y)."""
+    carried delay lines; x: (..., t) for axis=-1 or (t, ...) for
+    axis=0 (time-major: only the tiny (M,) delay rows are transposed,
+    never the data block). Returns (new_combs, y)."""
     n = combs.shape[-2]
     cur = x
     new_rows = []
     for i in range(n):
         row = combs[..., i, :]  # (..., M) delay line, row[..., 0] oldest
-        ext = jnp.concatenate([row, cur], axis=-1)
-        t = cur.shape[-1]
-        y = cur - ext[..., :t]  # x - delayed by M
-        new_rows.append(ext[..., t:])
+        if axis == 0:
+            t = cur.shape[0]
+            ext = jnp.concatenate(
+                [jnp.moveaxis(row, -1, 0), cur], axis=0
+            )  # (M + t, ...)
+            y = cur - ext[:t]
+            new_rows.append(jnp.moveaxis(ext[t:], 0, -1))
+        else:
+            t = cur.shape[-1]
+            ext = jnp.concatenate([row, cur], axis=-1)
+            y = cur - ext[..., :t]  # x - delayed by M
+            new_rows.append(ext[..., t:])
         cur = y
     new_combs = (
         jnp.stack(new_rows, axis=-2) if new_rows else combs
@@ -107,47 +117,57 @@ def _comb_chain(combs, x):
     return new_combs, cur
 
 
-def _integrator_chain(integrators, x):
+def _integrator_chain(integrators, x, axis: int = -1):
     """N chained wrapping cumsums on a fast-rate block. integrators:
-    (..., N) carried values; x: (..., t)."""
+    (..., N) carried values; x: (..., t) or (t, ...) for axis=0."""
     n = integrators.shape[-1]
     cur = x
     finals = []
     for i in range(n):
         c0 = integrators[..., i]
-        cur = c0[..., None] + jnp.cumsum(cur, axis=-1)
-        finals.append(cur[..., -1])
+        if axis == 0:
+            cur = c0[None] + jnp.cumsum(cur, axis=0)
+            finals.append(cur[-1])
+        else:
+            cur = c0[..., None] + jnp.cumsum(cur, axis=-1)
+            finals.append(cur[..., -1])
     new_int = jnp.stack(finals, axis=-1) if finals else integrators
     return new_int, cur
 
 
-def decimate_block(state: CicState, x, rate: int):
+def decimate_block(state: CicState, x, rate: int, *, axis: int = -1):
     """Decimate a fast-rate block (..., t) by R = rate+1 (cic.rs:175-199).
 
     t must be a multiple of R; the slow-rate output has t//R samples.
     Phase convention: with a fresh state the reference emits on the
     first fast sample (index 0), i.e. outputs are taken at fast
     positions 0, R, 2R, ... of the stream continuation.
+
+    ``axis=0`` takes time on the leading axis ((t, ...channels) blocks,
+    e.g. straight off the Pallas bank kernels) with no data transpose;
+    bit-identical to the channel-last path.
     """
     r = rate + 1
-    t = x.shape[-1]
+    t = x.shape[axis]
     assert t % r == 0, "block length must be a multiple of rate+1"
-    new_int, integ = _integrator_chain(state.integrators, x)
-    sampled = integ[..., ::r]
-    new_combs, y = _comb_chain(state.combs, sampled)
-    zoh = y[..., -1]
+    new_int, integ = _integrator_chain(state.integrators, x, axis)
+    sampled = integ[::r] if axis == 0 else integ[..., ::r]
+    new_combs, y = _comb_chain(state.combs, sampled, axis)
+    zoh = y[-1] if axis == 0 else y[..., -1]
     return CicState(combs=new_combs, integrators=new_int, zoh=zoh), y
 
 
-def interpolate_block(state: CicState, x, rate: int):
+def interpolate_block(state: CicState, x, rate: int, *, axis: int = -1):
     """Interpolate a slow-rate block (..., t) by R = rate+1
     (cic.rs:149-172): combs at the slow rate, ZOH upsampling, then N
-    integrators at the fast rate.  Output has t*R samples."""
+    integrators at the fast rate.  Output has t*R samples.  ``axis=0``
+    is the transpose-free time-major path (see decimate_block)."""
     r = rate + 1
-    new_combs, c = _comb_chain(state.combs, x)
-    zoh = jnp.repeat(c, r, axis=-1)
-    new_int, y = _integrator_chain(state.integrators, zoh)
-    return CicState(combs=new_combs, integrators=new_int, zoh=c[..., -1]), y
+    new_combs, c = _comb_chain(state.combs, x, axis)
+    zoh = jnp.repeat(c, r, axis=0 if axis == 0 else -1)
+    new_int, y = _integrator_chain(state.integrators, zoh, axis)
+    last = c[-1] if axis == 0 else c[..., -1]
+    return CicState(combs=new_combs, integrators=new_int, zoh=last), y
 
 
 # --- sequential reference paths (bit-exact mirrors of the per-sample
