@@ -53,6 +53,31 @@ def main():
     def make_chain(mode: str):
         def chain(state, x):
             bq_iq, dec_i, dec_q, phase0 = state
+            if mode == "fold":
+                # Fastest measured composition (scripts/foldprobe run,
+                # benches/RESULTS.md): XLA mix -> fused DF1 + half-band
+                # stage-1 decimator kernel (the sequential loop writes
+                # even/odd rows to separate VMEM scratch, making the
+                # stride-2 de-interleave free, and the kernel emits at
+                # half rate) -> 2-stage time-major HBF for the rest.
+                from idsp_tpu.filters.ddc_pallas import df1_hbf1_bank
+
+                idx = (
+                    jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF
+                ).astype(jnp.int32)
+                phases = phase0[None, :] + steps[None, :] * idx[:, None]
+                lo_re, lo_im = cossin(phases)
+                xi = x[:, None]
+                mi = fxp.q_apply(lo_re, xi, 32)
+                mq = fxp.q_apply(-lo_im, xi, 32)
+                miq = jnp.concatenate([mi, mq], axis=1)  # (t, 2c) I|Q
+                bq_iq, tail, y2 = df1_hbf1_bank(
+                    ba_q, bq_iq, dec_q, miq, 29, time_chunk=256
+                )
+                dec_i, ziq = hbf.hbf_dec_cascade(dec_i, y2, axis=0)
+                new_state = (bq_iq, dec_i, tail,
+                             phase0 + steps * jnp.int32(t))
+                return new_state, (ziq[:, :c], ziq[:, c:])
             if mode == "split":
                 # Fastest measured composition (scripts/tpu_split_probe.py):
                 # XLA mix (cossin select chain fuses into the concat
@@ -120,6 +145,16 @@ def main():
         return jax.jit(chain)
 
     def make_state(mode: str):
+        if mode == "fold":
+            from idsp_tpu.filters.ddc_pallas import hbf1_tail_init
+
+            # dec_q slot carries the stage-1 tail; dec_i the 2-stage rest
+            return (
+                biquad.df1_init((2 * c,), jnp.int32),
+                hbf.hbf_dec_cascade_init(2, (2 * c,), axis=0),
+                hbf1_tail_init(2 * c),
+                jnp.zeros((c,), jnp.int32),
+            )
         if mode in ("split", "fused"):
             return (
                 biquad.df1_init((2 * c,), jnp.int32),
@@ -137,7 +172,7 @@ def main():
     # compile + warm; prefer the measured-fastest split composition,
     # then the fused mix+biquad kernel, the plain Pallas bank, the scan
     run = None
-    for mode in ("split", "fused", "pallas", "scan"):
+    for mode in ("fold", "split", "fused", "pallas", "scan"):
         try:
             run = make_chain(mode)
             state = make_state(mode)

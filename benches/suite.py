@@ -387,6 +387,9 @@ def main(argv=None):
     run_trials("hbf dec8 cascade",
                jax.jit(lambda st, x: hbf.hbf_dec_cascade(st, x)),
                hbf.hbf_dec_cascade_init(3, (c,)), x_hbf)
+    run_trials("hbf dec8 cascade (t-major)",
+               jax.jit(lambda st, x: hbf.hbf_dec_cascade(st, x, axis=0)),
+               hbf.hbf_dec_cascade_init(3, (c,), axis=0), x_hbf.T)
     x_hbf_lo = jnp.asarray(rng.normal(size=(c, t // 8)).astype(np.float32))
     run_trials("hbf int8 cascade",
                jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x)),

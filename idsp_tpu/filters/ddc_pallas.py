@@ -36,7 +36,7 @@ from .biquad_pallas import _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32
 
 
 def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
-                     time_chunk: int = 512, mix_sub: int = 32,
+                     time_chunk: int = 512, mix_sub: int = 16,
                      interpret: bool = False, out_dtype=jnp.int32):
     """Fused per-channel NCO mix + Q32 DF1 biquad bank.
 
@@ -198,3 +198,194 @@ def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
     )
     new_phase0 = phase0 + steps * jnp.int32(t)
     return new_state, new_phase0, ys.reshape(t, 2 * c)
+
+
+# --- fused DF1 + first HBF decimation stage ---------------------------------
+#
+# The DDC chain's HBF cost is dominated by data movement, not FIR math:
+# the stride-2 even/odd de-interleave of the full-rate (t, 2c) stream is
+# a cross-sublane shuffle, and the full-rate block makes one extra HBM
+# round trip between the biquad kernel and the first decimator.  Fusing
+# stage 1 into the biquad kernel makes BOTH free: the sequential DF1
+# loop writes even/odd output rows to separate VMEM scratch buffers
+# directly (parity is static under unroll=2), and the half-band FIR
+# then runs vectorized over contiguous rows.  Kernel output bandwidth
+# halves (t/2 rows).  Mirrors the reference's fused per-sample stack
+# (examples/fm_disc.rs:126-140) and the hbf.rs:156-192 decimator.
+
+
+def hbf1_tail_init(c2: int, m: int = 5):
+    """Zero tail for the fused stage-1 decimator: (2m-1) odd-sample FIR
+    rows + (m-1) even-sample delay rows, packed (3m-2, c2) f32 —
+    the Pallas-kernel packing of `hbf.hbf_dec_init(m, axis=0)`."""
+    return jnp.zeros((3 * m - 2, c2), jnp.float32)
+
+
+def df1_hbf1_bank(ba, state: Df1State, tail, xs, f: int = 29, *,
+                  taps=None, time_chunk: int = 512,
+                  interpret: bool = False):
+    """Fused Q32 DF1 biquad bank + half-band decimate-by-2 (stage 1).
+
+    Args:
+      ba: (5,) Q<f> coefficients (static, baked).
+      state: Df1State over c2 lanes (c2 % 128 == 0).
+      tail: (3m-2, c2) f32 carried decimator tail (`hbf1_tail_init`);
+        rows [0, 2m-1) = odd-sample FIR tail, rows [2m-1, 3m-2) =
+        even-sample delay tail.
+      xs: (t, c2) i32 input block, t even.
+      taps: one-sided half-band taps (default `hbf.HBF_TAPS[2]`, the
+        5-tap stage that leads the decimate-by-8 cascade).
+
+    Returns (new_state, new_tail, y2) with y2 (t/2, c2) f32 — equal to
+    ``df1_bank_q(out_dtype=f32)`` followed by
+    ``hbf.hbf_dec_block(taps, ..., axis=0)``.  The integer DF1 state
+    and the carried tails are bit-exact (exact copies); the f32 FIR
+    output may differ from the XLA composition by ~1 ULP (mul+add
+    contracts to FMA differently across the two graphs) — a documented
+    float fast path, gated to <= 2 ULP by tests and
+    scripts/tpu_validate_kernels.py.
+    """
+    import numpy as _np
+
+    if taps is None:
+        from .hbf import HBF_TAPS
+
+        taps = HBF_TAPS[2]
+    taps_static = tuple(float(v) for v in _np.asarray(taps))
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _df1_hbf1_bank_impl(
+        ba_static, taps_static, state, tail, xs, f,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "taps_static", "f", "time_chunk",
+                     "interpret"),
+)
+def _df1_hbf1_bank_impl(ba_static, taps_static, state, tail, xs, f, *,
+                        time_chunk, interpret):
+    t, c2 = xs.shape
+    assert c2 % 128 == 0 and t % 2 == 0
+    cs2 = c2 // 128
+    m = len(taps_static)
+    ln = 2 * m - 1  # odd-tail rows
+    me = m - 1  # even-tail rows
+    nt = ln + me
+
+    # VMEM: x-in (tc, cs2, 128) i32 + y2-out (tc/2, ...) f32, both
+    # double-buffered, + odd/even f32 work scratch (~tc rows) ->
+    # ~18 B per sample-channel.
+    vmem_cap = max(8, (10 * 2**20) // (18 * c2))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk:
+        time_chunk //= 2
+    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
+    tc = time_chunk
+    n = tc // 2  # decimated rows per chunk
+    grid = (t // tc,)
+
+    def kernel(st_in_ref, tail_in_ref, x_ref, y2_ref, out_state_ref,
+               out_tail_ref, state_ref, tail_ref, odd_ref, even_ref):
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+            tail_ref[...] = tail_in_ref[...]
+
+        odd_ref[0:ln] = tail_ref[0:ln]
+        even_ref[0:me] = tail_ref[ln:nt]
+
+        def step(j, packed):
+            carry = tuple(packed[r] for r in range(4))
+            for u in range(2):  # unroll 2 == even/odd parity, static
+                x0 = x_ref[j * 2 + u]
+                x1, x2, y1, y2 = carry
+                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+                carry = (x0, x1, y0, y1)
+                if u == 0:
+                    even_ref[me + j] = y0.astype(jnp.float32)
+                else:
+                    odd_ref[ln + j] = y0.astype(jnp.float32)
+            return jnp.stack(carry)
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(n), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        # vectorized half-band FIR over the chunk, same op order as
+        # hbf.symmetric_fir (small-to-large taps) + even bypass
+        acc = None
+        for i in range(m):
+            a = odd_ref[i:i + n]
+            b = odd_ref[ln - i:ln - i + n]
+            term = (b + a) * jnp.float32(taps_static[i])
+            acc = term if acc is None else acc + term
+        y2_ref[...] = acc + even_ref[0:n]
+
+        tail_ref[0:ln] = odd_ref[n:n + ln]
+        tail_ref[ln:nt] = even_ref[n:n + me]
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+            out_tail_ref[...] = tail_ref[...]
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs2, 128)
+    tail_in = tail.reshape(nt, cs2, 128)
+
+    def fixed(r, dt):
+        del dt
+        return pl.BlockSpec(
+            (r, cs2, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    y2, st_out, tail_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed(4, jnp.int32),
+            fixed(nt, jnp.float32),
+            pl.BlockSpec(
+                (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (n, cs2, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            fixed(4, jnp.int32),
+            fixed(nt, jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t // 2, cs2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nt, cs2, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, cs2, 128), jnp.int32),
+            pltpu.VMEM((nt, cs2, 128), jnp.float32),
+            pltpu.VMEM((n + ln, cs2, 128), jnp.float32),
+            pltpu.VMEM((n + me, cs2, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(st_in, tail_in, xs.reshape(t, cs2, 128))
+
+    st_out = st_out.reshape(4, c2)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, tail_out.reshape(nt, c2), y2.reshape(t // 2, c2)

@@ -18,6 +18,7 @@ All collectives are XLA (`ppermute`, `psum`, `all_gather`) over
 ICI-mapped mesh axes.
 """
 
+from . import distributed
 from .mesh import make_mesh, local_mesh
 from .stream import (
     halo_exchange_prev,

@@ -96,29 +96,25 @@ def ddc_bank_block_biquad(
     c = state.nco_phase.shape[0]
     assert t % decimate == 0
 
-    if c % 128 == 0:
-        # fused NCO+mix+biquad kernel: the mixed stream never leaves
-        # VMEM (ddc_pallas.py; bit-identical to the unfused path below)
-        from ..filters.ddc_pallas import ddc_mix_df1_bank
+    # Split composition: XLA mix (the cossin select chain fuses into
+    # the concat output) -> Pallas DF1 bank.  Measured FASTER on a real
+    # v5e than the fused NCO+mix+biquad kernel (`ddc_mix_df1_bank`):
+    # Mosaic's in-kernel select chain costs ~1.7x XLA's even with the
+    # sub-chunked mix (scripts/tpu_fused_sub_probe.py vs
+    # tpu_split_probe.py: 2.6 ms vs 3.2 ms for the mix+DF1 front end).
+    from ..filters.biquad_pallas import df1_bank_q
 
-        bq_state, _, yiq = ddc_mix_df1_bank(
-            ba_q, state.bq, state.nco_phase, nco_steps, x, f,
-            interpret=interpret,
-        )
-    else:
-        from ..filters.biquad_pallas import df1_bank_q
-
-        phases = jnp.swapaxes(
-            accu.ramp(state.nco_phase, nco_steps, t), -1, -2
-        )
-        lo_re, lo_im = cossin(phases)
-        xi = x[:, None]
-        mi = fxp.q_apply(lo_re, xi, 32)
-        mq = fxp.q_apply(-lo_im, xi, 32)
-        miq = jnp.concatenate([mi, mq], axis=1)
-        bq_state, yiq = df1_bank_q(
-            ba_q, state.bq, miq, f, interpret=interpret
-        )
+    phases = jnp.swapaxes(
+        accu.ramp(state.nco_phase, nco_steps, t), -1, -2
+    )
+    lo_re, lo_im = cossin(phases)
+    xi = x[:, None]
+    mi = fxp.q_apply(lo_re, xi, 32)
+    mq = fxp.q_apply(-lo_im, xi, 32)
+    miq = jnp.concatenate([mi, mq], axis=1)
+    bq_state, yiq = df1_bank_q(
+        ba_q, state.bq, miq, f, interpret=interpret
+    )
     yi_d = yiq[::decimate, :c]
     yq_d = yiq[::decimate, c:]
 

@@ -190,6 +190,31 @@ def main():
     check("ddc_mix_df1_bank", ysf, ysf_ref)
     check("ddc_mix_df1_bank state.y", stf.y, stf_ref.y)
 
+    # fused DF1 + HBF stage-1 decimator (ddc_pallas): integer state and
+    # carried tails bit-exact; the f32 FIR output is gated to the FMA
+    # bound (~1 ULP of the largest term, amplified by cancellation).
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.ddc_pallas import df1_hbf1_bank, hbf1_tail_init
+
+    taps1 = hbf.HBF_TAPS[2]
+    dec_ref = hbf.hbf_dec_init(len(taps1), (2 * c,), axis=0)
+    _, ys32 = bp.df1_bank_q(ba_q, st2c, miq, 29, time_chunk=128,
+                            out_dtype=jnp.float32)
+    dec_ref, y2_ref = hbf.hbf_dec_block(taps1, dec_ref, ys32, axis=0)
+    sth, tailh, y2h = df1_hbf1_bank(
+        ba_q, st2c, hbf1_tail_init(2 * c), miq, 29, time_chunk=128
+    )
+    check("df1_hbf1_bank state.y", sth.y, stf_ref.y)
+    check("df1_hbf1_bank tail.odd", tailh[:9], dec_ref.odd)
+    import numpy as _np2
+
+    scale = _np2.float32(_np2.abs(_np2.asarray(ys32)).max())
+    dmax = float(_np2.abs(_np2.asarray(y2h) - _np2.asarray(y2_ref)).max())
+    fir_ok = dmax <= 4 * _np2.spacing(scale)
+    ok = ok and fir_ok
+    print(f"df1_hbf1_bank fir (<=4 ULP@scale)  "
+          f"{'OK' if fir_ok else 'MISMATCH'} (dmax={dmax})", flush=True)
+
     # PLL
     stp = pll.init((c,))
     pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))

@@ -656,3 +656,51 @@ def test_pallas_fused_mix_df1_bitexact():
     np.testing.assert_array_equal(
         np.asarray(p_f), np.asarray(phase0 + steps * jnp.int32(t))
     )
+
+
+def test_pallas_fused_df1_hbf1_bitexact():
+    # Fused DF1 + half-band stage-1 decimator vs df1_bank_q(out f32)
+    # then hbf_dec_block(axis=0): integer DF1 state and carried tails
+    # are bit-exact (they are exact copies); the f32 FIR output is
+    # gated to <= 2 ULP (XLA contracts mul+add to FMA differently
+    # across the two graphs — documented float fast path).
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q
+    from idsp_tpu.filters.ddc_pallas import df1_hbf1_bank, hbf1_tail_init
+
+    c2, t = 128, 256
+    taps = hbf.HBF_TAPS[2]
+    m = len(taps)
+    rng = np.random.default_rng(33)
+    ba_q = _ba_q(0.02)
+
+    st_ref = biquad.df1_init((c2,), jnp.int32)
+    dec_ref = hbf.hbf_dec_init(m, (c2,), axis=0)
+    st_f = biquad.df1_init((c2,), jnp.int32)
+    tail = hbf1_tail_init(c2, m)
+
+    for _ in range(3):
+        xs = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t, c2),
+                         dtype=np.int64).astype(np.int32)
+        )
+        st_ref, ys = df1_bank_q(ba_q, st_ref, xs, 29, time_chunk=64,
+                                interpret=True, out_dtype=jnp.float32)
+        dec_ref, y2_ref = hbf.hbf_dec_block(taps, dec_ref, ys, axis=0)
+
+        st_f, tail, y2 = df1_hbf1_bank(ba_q, st_f, tail, xs, 29,
+                                       time_chunk=64, interpret=True)
+        have, want = np.asarray(y2), np.asarray(y2_ref)
+        # FMA-contraction drift is ~1 ULP of the largest FIR *term*;
+        # half-band cancellation can amplify that relative to the
+        # output, so the gate scales with the input magnitude.
+        scale = np.float32(np.abs(np.asarray(ys)).max())
+        assert np.abs(have - want).max() <= 4 * np.spacing(scale)
+        np.testing.assert_array_equal(np.asarray(st_f.y),
+                                      np.asarray(st_ref.y))
+        np.testing.assert_array_equal(
+            np.asarray(tail[: 2 * m - 1]), np.asarray(dec_ref.odd)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tail[2 * m - 1:]), np.asarray(dec_ref.even)
+        )

@@ -232,3 +232,31 @@ def test_channelizer_tensor_parallel():
     np.testing.assert_allclose(
         np.asarray(y2_tp), np.asarray(y2), rtol=0, atol=1e-5
     )
+
+
+def test_distributed_helpers_single_process():
+    # Single-process: initialize_from_env stays inert (returns False,
+    # touches nothing), global_mesh == make_mesh over all devices, and
+    # process_info reports the 1-process topology.
+    from idsp_tpu.parallel import distributed
+
+    env_keys = (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES", "NUM_PROCESSES",
+        "JAX_PROCESS_ID", "PROCESS_ID",
+    )
+    import os
+
+    saved = {k: os.environ.pop(k) for k in env_keys if k in os.environ}
+    try:
+        assert distributed.initialize_from_env() is False
+    finally:
+        os.environ.update(saved)
+
+    n = len(jax.devices())
+    mesh = distributed.global_mesh({"dp": n})
+    assert mesh.shape["dp"] == n
+
+    info = distributed.process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == n
