@@ -72,7 +72,7 @@ def main():
                 mq = fxp.q_apply(-lo_im, xi, 32)
                 miq = jnp.concatenate([mi, mq], axis=1)  # (t, 2c) I|Q
                 bq_iq, tail, y2 = df1_hbf1_bank(
-                    ba_q, bq_iq, dec_q, miq, 29, time_chunk=256
+                    ba_q, bq_iq, dec_q, miq, 29, time_chunk=128, unroll=4
                 )
                 dec_i, ziq = hbf.hbf_dec_cascade(dec_i, y2, axis=0)
                 new_state = (bq_iq, dec_i, tail,
@@ -195,9 +195,12 @@ def main():
         _ = float(jnp.sum(zi)) + float(jnp.sum(zq))
         return time.perf_counter() - t0
 
+    # The chip's effective clock wanders run to run (observed +-30% on
+    # identical compiled fns); min over 6 trials approximates the true
+    # capability floor.
     n1, n2 = 10, 40
     best = float("inf")
-    for _trial in range(3):
+    for _trial in range(6):
         d1 = timed(n1)
         d2 = timed(n2)
         best = min(best, max((d2 - d1) / (n2 - n1), 1e-9))

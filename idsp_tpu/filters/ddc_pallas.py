@@ -222,7 +222,7 @@ def hbf1_tail_init(c2: int, m: int = 5):
 
 
 def df1_hbf1_bank(ba, state: Df1State, tail, xs, f: int = 29, *,
-                  taps=None, time_chunk: int = 512,
+                  taps=None, time_chunk: int = 512, unroll: int = 2,
                   interpret: bool = False):
     """Fused Q32 DF1 biquad bank + half-band decimate-by-2 (stage 1).
 
@@ -253,19 +253,20 @@ def df1_hbf1_bank(ba, state: Df1State, tail, xs, f: int = 29, *,
         taps = HBF_TAPS[2]
     taps_static = tuple(float(v) for v in _np.asarray(taps))
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    assert unroll % 2 == 0, "unroll must be even (even/odd parity)"
     return _df1_hbf1_bank_impl(
         ba_static, taps_static, state, tail, xs, f,
-        time_chunk=time_chunk, interpret=interpret,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ba_static", "taps_static", "f", "time_chunk",
-                     "interpret"),
+                     "unroll", "interpret"),
 )
 def _df1_hbf1_bank_impl(ba_static, taps_static, state, tail, xs, f, *,
-                        time_chunk, interpret):
+                        time_chunk, unroll, interpret):
     t, c2 = xs.shape
     assert c2 % 128 == 0 and t % 2 == 0
     cs2 = c2 // 128
@@ -301,21 +302,23 @@ def _df1_hbf1_bank_impl(ba_static, taps_static, state, tail, xs, f, *,
         even_ref[0:me] = tail_ref[ln:nt]
 
         def step(j, packed):
+            # even unroll => sample parity is static per unrolled slot
             carry = tuple(packed[r] for r in range(4))
-            for u in range(2):  # unroll 2 == even/odd parity, static
-                x0 = x_ref[j * 2 + u]
+            for u in range(unroll):
+                x0 = x_ref[j * unroll + u]
                 x1, x2, y1, y2 = carry
                 acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
                 y0 = _shr_i64_to_i32(acc[0], acc[1], f)
                 carry = (x0, x1, y0, y1)
-                if u == 0:
-                    even_ref[me + j] = y0.astype(jnp.float32)
+                k = j * (unroll // 2) + u // 2  # decimated row index
+                if u % 2 == 0:
+                    even_ref[me + k] = y0.astype(jnp.float32)
                 else:
-                    odd_ref[ln + j] = y0.astype(jnp.float32)
+                    odd_ref[ln + k] = y0.astype(jnp.float32)
             return jnp.stack(carry)
 
         st = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(n), step, state_ref[...]
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
         )
         state_ref[...] = st
 

@@ -689,7 +689,8 @@ def test_pallas_fused_df1_hbf1_bitexact():
         dec_ref, y2_ref = hbf.hbf_dec_block(taps, dec_ref, ys, axis=0)
 
         st_f, tail, y2 = df1_hbf1_bank(ba_q, st_f, tail, xs, 29,
-                                       time_chunk=64, interpret=True)
+                                       time_chunk=64, unroll=4,
+                                       interpret=True)
         have, want = np.asarray(y2), np.asarray(y2_ref)
         # FMA-contraction drift is ~1 ULP of the largest FIR *term*;
         # half-band cancellation can amplify that relative to the
