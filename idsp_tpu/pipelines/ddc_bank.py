@@ -115,8 +115,13 @@ def ddc_bank_block_biquad(
     bq_state, yiq = df1_bank_q(
         ba_q, state.bq, miq, f, interpret=interpret
     )
-    yi_d = yiq[::decimate, :c]
-    yq_d = yiq[::decimate, c:]
+    # Decimate via reshape + unit slice: a bare `yiq[::d]` stride-d
+    # slice lowers to a while-loop gather on TPU (profiled at ~11 ms
+    # per block at (65536, 2048) — 4x the biquad kernel itself); the
+    # reshaped form is a plain strided-DMA slice.
+    yiq_d = yiq.reshape(t // decimate, decimate, 2 * c)[:, 0, :]
+    yi_d = yiq_d[:, :c]
+    yq_d = yiq_d[:, c:]
 
     ph = atan2(yq_d, yi_d)
     if (
@@ -194,9 +199,11 @@ def ddc_bank_block(
         lp_i, yi = lowpass.block(jnp.asarray(lp_gains), state.lp_i, mix_i)
         lp_q, yq = lowpass.block(jnp.asarray(lp_gains), state.lp_q, mix_q)
 
-    # decimate (t, c) -> (t/d, c)
-    yi_d = yi[::decimate]
-    yq_d = yq[::decimate]
+    # decimate (t, c) -> (t/d, c); reshape + unit slice, NOT a stride-d
+    # slice (which lowers to a while-loop gather on TPU — see the
+    # biquad variant above)
+    yi_d = yi.reshape(t // decimate, decimate, c)[:, 0, :]
+    yq_d = yq.reshape(t // decimate, decimate, c)[:, 0, :]
 
     # per-channel PLL on the residual carrier phase
     ph = atan2(yq_d, yi_d)
