@@ -390,6 +390,21 @@ def main(argv=None):
     run_trials("hbf dec8 cascade (t-major)",
                jax.jit(lambda st, x: hbf.hbf_dec_cascade(st, x, axis=0)),
                hbf.hbf_dec_cascade_init(3, (c,), axis=0), x_hbf.T)
+    if c % 128 == 0:
+        # the headline-chain front end: DF1 bank + in-kernel half-band
+        # stage-1 decimation (ddc_pallas.df1_hbf1_bank)
+        from idsp_tpu.filters.ddc_pallas import df1_hbf1_bank, hbf1_tail_init
+
+        def run_fold(st, xs):
+            bq, tail = st
+            bq, tail, y2 = df1_hbf1_bank(ba_q29, bq, tail, xs, 29,
+                                         time_chunk=128, unroll=4)
+            return (bq, tail), y2
+
+        run_trials(
+            "q32 df1+hbf1 (pallas fused)", run_fold,
+            (biquad.df1_init((c,), jnp.int32), hbf1_tail_init(c)), xs_i,
+        )
     x_hbf_lo = jnp.asarray(rng.normal(size=(c, t // 8)).astype(np.float32))
     run_trials("hbf int8 cascade",
                jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x)),
