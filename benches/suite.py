@@ -199,6 +199,13 @@ def main(argv=None):
         ),
         biquad.df1_init((c,), jnp.int16), xs_i16,
     )
+    if c % 128 == 0:
+        run_trials(
+            "q16<13> df1 (pallas)",
+            lambda st, xs: bp.df1_bank_q16(ba_q13_16, st, xs, 13,
+                                           time_chunk=tc),
+            biquad.df1_init((c,), jnp.int16), xs_i16,
+        )
 
     ba_q61 = jnp.asarray(biquad.quantize_ba(ba5, 61, dtype=jnp.int64))
     xs_i64 = jnp.asarray(
@@ -207,6 +214,13 @@ def main(argv=None):
     run_trials("q64<61> df1 (scan, emulated i128)",
                scan_of(biquad.df1_step_q64, ba_q61, 61),
                biquad.df1_init((c,), jnp.int64), xs_i64)
+    if c % 128 == 0:
+        run_trials(
+            "q64<61> df1 (pallas, limb i128)",
+            lambda st, xs: bp.df1_bank_q64(ba_q61, st, xs, 61,
+                                           time_chunk=tc),
+            biquad.df1_init((c,), jnp.int64), xs_i64,
+        )
 
     run_trials("q32 wide (scan)", scan_of(biquad.df1_wide_step, ba_q29, 29),
                biquad.df1_wide_init((c,)), xs_i)
@@ -409,6 +423,33 @@ def main(argv=None):
     run_trials("hbf int8 cascade",
                jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x)),
                hbf.hbf_int_cascade_init(3, (c,)), x_hbf_lo)
+
+    # ---- FM discriminator receiver bank (BASELINE config #1) ----
+    from idsp_tpu.pipelines import fm_disc
+
+    ph_fm = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(t, c), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    re_fm, im_fm = cossin(ph_fm)
+    ba_fm = jnp.asarray(fm_disc.deemphasis_coefficients(0.02))
+
+    def run_fm(st, re, im):
+        st2, y = fm_disc.fm_receiver(st, re, im, jnp.int32(12345), ba_fm)
+        return st2, y
+
+    run_trials("fm receiver bank", jax.jit(run_fm),
+               fm_disc.init_state((c,)), re_fm, im_fm)
+
+    # ---- rate-conversion round trip (BASELINE config #4) ----
+    from idsp_tpu.pipelines import rate_conversion
+
+    run_trials(
+        "rate conv 16x dec+int round trip",
+        jax.jit(lambda st, x: rate_conversion.round_trip(st, x)),
+        rate_conversion.init(4, (c,)), x_hbf,
+    )
 
     # ---- CIC (cic.rs:400-422) ----
     x_cic = jnp.asarray(

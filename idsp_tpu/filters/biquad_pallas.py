@@ -903,3 +903,263 @@ def _df1_dither_bank_coef_impl(ba_planes, state, xs, f, clamp, *,
         e=_as_u32(st_out[4]),
     )
     return new_state, ys.reshape(t, c)
+
+
+# --- Q64<f> bank: emulated 128-bit MAC ---------------------------------------
+#
+# The reference's `Q64<61>` row (tests/embedded/README.md:63,
+# `Q<i64, i128, F>` per dsp-fixedpoint/src/lib.rs:473-492).  Mosaic has
+# no 64-bit integers at all, so i64 values live as (hi i32, lo u32)
+# limb pairs and the i128 accumulator as four 32-bit limbs
+# (r3 sign-carrying i32, r2..r0 u32) with explicit carries — the 64-bit
+# analog of the 16-bit-limb Q32 MAC above.  Bit-exact vs
+# `biquad.df1_process_q64`.
+
+
+def _mul_u32_u32_to_u64(a, x):
+    """Exact 64-bit product of u32 values as (hi u32, lo u32)."""
+    ah = a >> 16
+    al = a & 0xFFFF
+    xh = x >> 16
+    xl = x & 0xFFFF
+
+    ll = al * xl  # u32 exact
+    hh = ah * xh
+    m1 = al * xh
+    m2 = ah * xl
+    mid = m1 + m2
+    cmid = (mid < m1).astype(jnp.uint32)
+
+    lo = ll + (mid << 16)
+    c1 = (lo < ll).astype(jnp.uint32)
+    hi = hh + (mid >> 16) + (cmid << 16) + c1
+    return hi, lo
+
+
+def _mul_i64limbs(vh, vl, ch: int, cl: int):
+    """(vh:vl) * static-i64-coefficient -> 128-bit (r3 i32, r2, r1, r0 u32).
+
+    vh: i32 high limb (sign-carrying), vl: u32 low limb; the
+    coefficient is split at trace time into ch (Python int, signed
+    high) and cl (unsigned low).
+    """
+    chv = jnp.full_like(vh, jnp.int32(ch))
+    clv = jnp.full_like(vl, jnp.uint32(cl))
+
+    p0h, p0l = _mul_u32_u32_to_u64(vl, clv)  # al*bl -> limbs 1:0
+    p1h, p1l = _mul_u32_i32_to_i64(vl, chv)  # al*bh -> limbs 2:1 (+sext 3)
+    p2h, p2l = _mul_u32_i32_to_i64(clv, vh)  # ah*bl -> limbs 2:1 (+sext 3)
+    p3h, p3l = _mul_i32_i32_to_i64(vh, chv)  # ah*bh -> limbs 3:2
+
+    r0 = p0l
+
+    r1 = p0h + p1l
+    c2 = (r1 < p0h).astype(jnp.uint32)
+    r1b = r1 + p2l
+    c2 = c2 + (r1b < r1).astype(jnp.uint32)
+    r1 = r1b
+
+    # limb 2: signed mid-highs enter as bit patterns; their sign
+    # extensions land in limb 3
+    r2 = _as_u32(p1h) + _as_u32(p2h)
+    c3 = (r2 < _as_u32(p1h)).astype(jnp.int32)
+    r2b = r2 + p3l
+    c3 = c3 + (r2b < r2).astype(jnp.int32)
+    r2 = r2b + c2
+    c3 = c3 + (r2 < r2b).astype(jnp.int32)
+
+    r3 = p3h + (p1h >> 31) + (p2h >> 31) + c3  # wrapping i32
+    return r3, r2, r1, r0
+
+
+def _add_i128limbs(a, b):
+    """4-limb (r3 i32, r2..r0 u32) add with carries."""
+    a3, a2, a1, a0 = a
+    b3, b2, b1, b0 = b
+    r0 = a0 + b0
+    c1 = (r0 < a0).astype(jnp.uint32)
+    r1 = a1 + b1
+    c2 = (r1 < a1).astype(jnp.uint32)
+    r1 = r1 + c1
+    c2 = c2 + (r1 < c1).astype(jnp.uint32)
+    r2 = a2 + b2
+    c3 = (r2 < a2).astype(jnp.int32)
+    r2 = r2 + c2
+    c3 = c3 + (r2 < c2).astype(jnp.int32)
+    r3 = a3 + b3 + c3
+    return r3, r2, r1, r0
+
+
+def _shr_i128limbs_to_i64(r3, r2, r1, r0, f: int):
+    """Low 64 bits of ``(r3:r2:r1:r0) >> f`` as (hi i32, lo u32), for
+    static 32 < f < 64 (matches `biquad._shr_i128_to_i64`)."""
+    assert 32 < f < 64
+    s = f - 32
+    lo = (r1 >> s) | (r2 << (32 - s))
+    hi = _as_i32(r2 >> s) | (r3 << (32 - s))
+    return hi, lo
+
+
+def df1_bank_q64(ba, state: Df1State, xs, f: int = 61, *,
+                 time_chunk: int = 256, interpret: bool = False):
+    """Q64<f> DF1 biquad bank, Pallas fast path.
+
+    Args:
+      ba: (5,) i64 Q<f> coefficients (static, baked into the kernel).
+      state: Df1State with i64 ``x``/``y`` of shape (c, 2), c % 128 == 0.
+      xs: (t, c) i64 input block.
+      f: fractional bits, 32 < f < 64 (the baseline row is Q64<61>).
+
+    Returns (state, ys) bit-identical to `df1_process_q64` scanned.
+    """
+    import numpy as _np
+
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _df1_bank_q64_impl(
+        ba_static, state, xs, f, time_chunk=time_chunk, interpret=interpret
+    )
+
+
+def _split_i64(v):
+    """i64 array -> (hi i32, lo i32-bit-pattern)."""
+    return (v >> 32).astype(jnp.int32), (v & 0xFFFFFFFF).astype(
+        jnp.uint32
+    ).astype(jnp.int32)
+
+
+def _join_i64(hi, lo):
+    """(hi i32, lo i32-bit-pattern) -> i64."""
+    return (hi.astype(jnp.int64) << 32) | _as_u32(lo).astype(jnp.int64)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ba_static", "f", "time_chunk", "interpret")
+)
+def _df1_bank_q64_impl(ba_static, state: Df1State, xs, f: int, *,
+                       time_chunk: int, interpret: bool):
+    t, c = xs.shape
+    assert c % 128 == 0
+    assert 32 < f < 64
+    cs = c // 128
+    ba_limbs = tuple(
+        (int(v) >> 32, int(v) & 0xFFFFFFFF) for v in ba_static
+    )
+
+    def hl(row):
+        return row[:cs], _as_u32(row[cs:])
+
+    def body(carry, x_row, _extras):
+        # carry rows (each (2cs, 128) = [hi | lo]): x1, x2, y1, y2
+        x1, x2, y1, y2 = carry
+        acc = None
+        for row, (ch, cl) in zip((x_row, x1, x2, y1, y2), ba_limbs):
+            vh, vl = hl(row)
+            p = _mul_i64limbs(vh, vl, ch, cl)
+            acc = p if acc is None else _add_i128limbs(acc, p)
+        y0h, y0l = _shr_i128limbs_to_i64(acc[0], acc[1], acc[2], acc[3], f)
+        y0 = jnp.concatenate([y0h, _as_i32(y0l)], axis=0)
+        return (x_row, x1, y0, y1), y0
+
+    def pack(v):
+        h, lo = _split_i64(v)
+        return jnp.concatenate(
+            [h.reshape(cs, 128), lo.reshape(cs, 128)], axis=0
+        )
+
+    st_in = jnp.stack(
+        [pack(state.x[..., 0]), pack(state.x[..., 1]),
+         pack(state.y[..., 0]), pack(state.y[..., 1])], axis=0
+    )  # (4, 2cs, 128)
+
+    xh, xl = _split_i64(xs)
+    xs3 = jnp.concatenate(
+        [xh.reshape(t, cs, 128), xl.reshape(t, cs, 128)], axis=1
+    )  # (t, 2cs, 128): [hi | lo] rows
+
+    ys3, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs3,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+
+    def unpack(row):
+        return _join_i64(
+            row[:cs].reshape(c), row[cs:].reshape(c)
+        )
+
+    new_state = Df1State(
+        x=jnp.stack([unpack(st_out[0]), unpack(st_out[1])], axis=-1),
+        y=jnp.stack([unpack(st_out[2]), unpack(st_out[3])], axis=-1),
+    )
+    ys = _join_i64(
+        ys3[:, :cs].reshape(t, c), ys3[:, cs:].reshape(t, c)
+    )
+    return new_state, ys
+
+
+# --- Q16<f> bank: native-i32 accumulator -------------------------------------
+
+
+def df1_bank_q16(ba, state: Df1State, xs, f: int = 13, *,
+                 time_chunk: int = 512, interpret: bool = False):
+    """Q16<f> DF1 biquad bank, Pallas fast path.
+
+    The i16 baseline variant (`Q16<13>`, tests/embedded/README.md:62):
+    i16 storage with an i32 accumulator (`Q<i16, i32, F>`), so — unlike
+    the Q32/Q64 banks — no limb emulation at all: i16 x i16 products
+    are exact in native i32, the 5-term sum wraps in i32 exactly like
+    the reference accumulator, one truncating shift, wrap to i16.
+    Values ride the kernel as sign-extended i32 lanes (the i16 <-> i32
+    conversion happens once at the jit boundary).
+
+    Args:
+      ba: (5,) i16 Q<f> coefficients (static, baked).
+      state: Df1State with i16 x/y of shape (c, 2), c % 128 == 0.
+      xs: (t, c) i16 input block.
+
+    Returns (state, ys) bit-identical to scanning
+    ``biquad.df1_step_q(ba, f, s, x, dtype=jnp.int16)``.
+    """
+    import numpy as _np
+
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _df1_bank_q16_impl(
+        ba_static, state, xs, f, time_chunk=time_chunk, interpret=interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ba_static", "f", "time_chunk", "interpret")
+)
+def _df1_bank_q16_impl(ba_static, state: Df1State, xs, f: int, *,
+                       time_chunk: int, interpret: bool):
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+
+    def wrap16(v):
+        return (v << 16) >> 16
+
+    def body(carry, x0, _extras):
+        x1, x2, y1, y2 = carry
+        acc = jnp.full_like(x0, jnp.int32(ba_static[0])) * x0
+        for coef, v in zip(ba_static[1:], (x1, x2, y1, y2)):
+            acc = acc + jnp.full_like(x0, jnp.int32(coef)) * v
+        y0 = wrap16(acc >> f)
+        return (x0, x1, y0, y1), y0
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).astype(jnp.int32).reshape(4, cs, 128)
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in,
+        xs.astype(jnp.int32).reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret,
+    )
+    st_out = st_out.reshape(4, c).astype(jnp.int16)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c).astype(jnp.int16)

@@ -190,6 +190,45 @@ def main():
     check("ddc_mix_df1_bank", ysf, ysf_ref)
     check("ddc_mix_df1_bank state.y", stf.y, stf_ref.y)
 
+    # Q64<61> bank (emulated 128-bit limb MAC)
+    ba61 = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.1).lowpass()),
+            61, dtype=jnp.int64,
+        )
+    )
+    xs64 = jnp.asarray(
+        np.random.default_rng(61).integers(
+            -(2**55), 2**55, size=(t, c), dtype=np.int64
+        )
+    )
+    st64 = biquad.df1_init((c,), jnp.int64)
+    st64_ref, ys_ref = biquad.df1_process_q64(ba61, 61, st64, xs64)
+    st64_pl, ys = bp.df1_bank_q64(ba61, st64, xs64, 61, time_chunk=128)
+    check("df1_bank_q64", ys, ys_ref)
+    check("df1_bank_q64 state.y", st64_pl.y, st64_ref.y)
+
+    # Q16<13> bank (native i32 accumulator)
+    ba16 = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.1).lowpass()),
+            13, dtype=jnp.int16,
+        )
+    )
+    xs16 = jnp.asarray(
+        np.random.default_rng(16).integers(
+            -(2**15), 2**15, size=(t, c), dtype=np.int64
+        ).astype(np.int16)
+    )
+    st16 = biquad.df1_init((c,), jnp.int16)
+    st16_ref, ys_ref = jax.lax.scan(
+        lambda s, x: biquad.df1_step_q(ba16, 13, s, x, dtype=jnp.int16),
+        st16, xs16,
+    )
+    st16_pl, ys = bp.df1_bank_q16(ba16, st16, xs16, 13, time_chunk=128)
+    check("df1_bank_q16", ys, ys_ref)
+    check("df1_bank_q16 state.y", st16_pl.y, st16_ref.y)
+
     # fused DF1 + HBF stage-1 decimator (ddc_pallas): integer state and
     # carried tails bit-exact; the f32 FIR output is gated to the FMA
     # bound (~1 ULP of the largest term, amplified by cancellation).

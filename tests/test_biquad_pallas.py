@@ -705,3 +705,70 @@ def test_pallas_fused_df1_hbf1_bitexact():
         np.testing.assert_array_equal(
             np.asarray(tail[2 * m - 1:]), np.asarray(dec_ref.even)
         )
+
+
+def test_pallas_q64_bank_bitexact():
+    # Q64<61> bank kernel (emulated 128-bit limb MAC) == df1_process_q64
+    # scanned, bit-for-bit, across streamed blocks with carried state.
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q64
+
+    c2, t = 128, 192
+    rng = np.random.default_rng(61)
+    ba5 = np.asarray(
+        biquad.from_cookbook(
+            __import__("idsp_tpu.design", fromlist=["Filter"])
+            .Filter().critical_frequency(0.05).lowpass()
+        )
+    )
+    ba_q61 = jnp.asarray(biquad.quantize_ba(ba5, 61, dtype=jnp.int64))
+
+    st_ref = biquad.df1_init((c2,), jnp.int64)
+    st_pl = biquad.df1_init((c2,), jnp.int64)
+    for _ in range(3):
+        xs = jnp.asarray(
+            rng.integers(-(2**55), 2**55, size=(t, c2), dtype=np.int64)
+        )
+        st_ref, ys_ref = biquad.df1_process_q64(ba_q61, 61, st_ref, xs)
+        st_pl, ys = df1_bank_q64(ba_q61, st_pl, xs, 61, time_chunk=64,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(ys_ref))
+        np.testing.assert_array_equal(np.asarray(st_pl.x),
+                                      np.asarray(st_ref.x))
+        np.testing.assert_array_equal(np.asarray(st_pl.y),
+                                      np.asarray(st_ref.y))
+
+
+def test_pallas_q16_bank_bitexact():
+    # Q16<13> bank kernel (native i32 accumulator) == the i16 scan,
+    # bit-for-bit, with wrap-heavy random i16 state/input.
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q16
+
+    c2, t = 128, 256
+    rng = np.random.default_rng(16)
+    ba5 = np.asarray(
+        biquad.from_cookbook(Filter().critical_frequency(0.05).lowpass())
+    )
+    ba16 = jnp.asarray(biquad.quantize_ba(ba5, 13, dtype=jnp.int16))
+
+    def r16(shape):
+        return jnp.asarray(
+            rng.integers(-(2**15), 2**15, size=shape,
+                         dtype=np.int64).astype(np.int16)
+        )
+
+    st_ref = biquad.Df1State(x=r16((c2, 2)), y=r16((c2, 2)))
+    st_pl = st_ref
+    for _ in range(3):
+        xs = r16((t, c2))
+        st_ref, ys_ref = jax.lax.scan(
+            lambda s, x: biquad.df1_step_q(ba16, 13, s, x,
+                                           dtype=jnp.int16),
+            st_ref, xs,
+        )
+        st_pl, ys = df1_bank_q16(ba16, st_pl, xs, 13, time_chunk=64,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(ys_ref))
+        np.testing.assert_array_equal(np.asarray(st_pl.x),
+                                      np.asarray(st_ref.x))
+        np.testing.assert_array_equal(np.asarray(st_pl.y),
+                                      np.asarray(st_ref.y))

@@ -178,3 +178,21 @@ def test_cossin_lookup_strategies_bit_identical():
                                       err_msg=lk)
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s),
                                       err_msg=lk)
+
+
+def test_atan2_lookup_strategies_bit_identical():
+    # The reciprocal-LUT division has gather and select strategies
+    # (trig.py:_divi); they must agree bit-for-bit including the axes
+    # and the x == 0 guard.
+    rng = np.random.default_rng(8)
+    y = np.concatenate(
+        [rng.integers(-(2**31), 2**31, size=(1 << 16,), dtype=np.int64),
+         [0, 1, -1, 2**31 - 1, -(2**31)]]
+    ).astype(np.int32)
+    x = np.concatenate(
+        [rng.integers(-(2**31), 2**31, size=(1 << 16,), dtype=np.int64),
+         [1, 0, 0, -(2**31), 2**31 - 1]]
+    ).astype(np.int32)
+    ref = atan2(y, x, lookup="gather")
+    sel = atan2(y, x, lookup="select")
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(ref))
