@@ -326,7 +326,7 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
     return ys, st_out
 
 
-def _seq_bank_kernel(body, unroll: int = 2):
+def _seq_bank_kernel(body, unroll: int = 2, prep=None):
     """Wrap a per-chunk ``body(carry, x_row, extra_rows) -> (carry, y)``
     into the standard sequential bank kernel (state in scratch across
     grid steps, packed single-array fori carry, i32 fori bounds).
@@ -352,6 +352,11 @@ def _seq_bank_kernel(body, unroll: int = 2):
             state_ref[...] = st_in_ref[...]
 
         extras = tuple(r[...] for r in extra_refs)
+        if prep is not None:
+            # once-per-chunk transform of the extras (e.g. coefficient
+            # limb pre-split) — Mosaic does not hoist loop-invariant
+            # work out of the fori body, so it must happen here
+            extras = prep(extras)
         tc = x_ref.shape[0]
         rows = st_in_ref.shape[0]
 
@@ -428,6 +433,41 @@ def _shl_i64(acc, s: int):
 def _sext32(v):
     """Sign-extend an i32 into an emulated (hi, lo) i64 pair."""
     return v >> 31, _as_u32(v)
+
+
+def _mul_presplit_i32(ah, al, x):
+    """`_mul_i32_i32_to_i64` with the first operand already limb-split
+    (ah: i32 sign-carrying high half, al: u32 low half) — used when the
+    coefficient split is hoisted out of the sequential loop."""
+    xh = x >> 16
+    xl = (x & 0xFFFF).astype(jnp.uint32)
+
+    ll = al * xl
+    lh = al.astype(jnp.int32) * xh
+    hl = ah * xl.astype(jnp.int32)
+    hh = ah * xh
+
+    hi = hh
+    lo = ll
+    for m in (lh, hl):
+        new_lo = lo + (m.astype(jnp.uint32) << 16)
+        hi = hi + (m >> 16) + (new_lo < lo).astype(jnp.int32)
+        lo = new_lo
+    return hi, lo
+
+
+def _split_coef(p):
+    """Limb-split a coefficient plane for `_mul_presplit_i32`."""
+    return p >> 16, (p & 0xFFFF).astype(jnp.uint32)
+
+
+def _mac5_presplit(ba_split, x0, x1, x2, y1, y2):
+    """`_mac5_q` with pre-split coefficient planes
+    (tuple of 5 (ah, al) pairs)."""
+    acc = _mul_presplit_i32(*ba_split[0], x0)
+    for (ah, al), v in zip(ba_split[1:], (x1, x2, y1, y2)):
+        acc = _add_i64(acc, _mul_presplit_i32(ah, al, v))
+    return acc
 
 
 def _mac5_q(ba, x0, x1, x2, y1, y2):
@@ -723,17 +763,18 @@ def _df1_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, *, time_chunk,
         axis=0,
     ).reshape(4, cs, 128)
 
-    def body(carry, x0, extras):
+    def prep(extras):
         (ba,) = extras
+        return tuple(_split_coef(ba[i]) for i in range(5))
+
+    def body(carry, x0, ba_split):
         x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
-        acc = _mac5_q(
-            (ba[0], ba[1], ba[2], ba[3], ba[4]), x0, x1, x2, y1, y2
-        )
+        acc = _mac5_presplit(ba_split, x0, x1, x2, y1, y2)
         y0 = _shr_i64_to_i32(acc[0], acc[1], f)
         return (x0, x1, y0, y1), y0
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, prep=prep), st_in, xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
         extra_in=(ba_planes.reshape(5, cs, 128),),
     )
@@ -779,11 +820,13 @@ def _df1_clamp_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, u, lo,
     assert c % 128 == 0
     cs = c // 128
 
-    def body(carry, x0, extras):
+    def prep(extras):
         (ba,) = extras
+        return tuple(_split_coef(ba[i]) for i in range(5))
+
+    def body(carry, x0, ba_split):
         x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
-        acc = _mac5_q((ba[0], ba[1], ba[2], ba[3], ba[4]),
-                      x0, x1, x2, y1, y2)
+        acc = _mac5_presplit(ba_split, x0, x1, x2, y1, y2)
         y0 = _shr_i64_to_i32(acc[0], acc[1], f)
         y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
         return (x0, x1, y0, y1), y0
@@ -793,7 +836,7 @@ def _df1_clamp_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, u, lo,
         axis=0,
     ).reshape(4, cs, 128)
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, prep=prep), st_in, xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
         extra_in=(ba_planes,),
     )

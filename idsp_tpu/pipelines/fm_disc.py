@@ -73,7 +73,19 @@ def fm_receiver(state: FmDiscState, x_re, x_im, carrier, ba_q, f: int = 30):
     )
     dphi = jnp.where(valid, dphi, 0)
 
-    deemph_state, y = biquad.df1_process_q(ba_q, f, state.deemph, dphi)
+    if (
+        dphi.ndim == 2
+        and dphi.shape[1] % 128 == 0
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        # wide channel banks ride the runtime-coefficient Pallas kernel
+        # (ba_q arrives traced, so the static-coef bank can't bake it);
+        # bit-identical to the scan
+        from ..filters.biquad_pallas import df1_bank_q_coef
+
+        deemph_state, y = df1_bank_q_coef(ba_q, state.deemph, dphi, f)
+    else:
+        deemph_state, y = biquad.df1_process_q(ba_q, f, state.deemph, dphi)
     new_state = FmDiscState(
         prev_re=x_re[-1],
         prev_im=x_im[-1],
