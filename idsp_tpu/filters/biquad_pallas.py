@@ -470,20 +470,55 @@ def _mac5_presplit(ba_split, x0, x1, x2, y1, y2):
     return acc
 
 
+def _mul_u32_presplit(u, ah, al):
+    """`_mul_u32_i32_to_i64` with the signed operand pre-split
+    (ah: i32 sign-carrying high, al: u32 low)."""
+    uh = (u >> 16).astype(jnp.int32)
+    ul = u & 0xFFFF
+
+    ll = ul * al
+    lh = ul.astype(jnp.int32) * ah
+    hl = uh.astype(jnp.uint32) * al
+    hh = uh * ah
+
+    hi = hh
+    lo = ll
+    new_lo = lo + (lh.astype(jnp.uint32) << 16)
+    hi = hi + (lh >> 16) + (new_lo < lo).astype(jnp.int32)
+    lo = new_lo
+    new_lo = lo + (hl << 16)
+    hi = hi + (hl >> 16).astype(jnp.int32) + (new_lo < lo).astype(jnp.int32)
+    lo = new_lo
+    return hi, lo
+
+
+def _mul_coef_i32(v, x):
+    """coef * i32 value; ``v`` is a scalar, a plane, or a pre-split
+    (ah, al) pair (the once-per-chunk hoisted form)."""
+    if isinstance(v, tuple):
+        return _mul_presplit_i32(v[0], v[1], x)
+    return _mul_i32_i32_to_i64(
+        jnp.broadcast_to(jnp.asarray(v, jnp.int32), x.shape), x
+    )
+
+
+def _mul_u32_coef(u, v):
+    """u32 value * coef; same coef forms as `_mul_coef_i32`."""
+    if isinstance(v, tuple):
+        return _mul_u32_presplit(u, v[0], v[1])
+    return _mul_u32_i32_to_i64(
+        u, jnp.broadcast_to(jnp.asarray(v, jnp.int32), u.shape)
+    )
+
+
 def _mac5_q(ba, x0, x1, x2, y1, y2):
     """acc = b0*x0 + b1*x1 + b2*x2 + a1*y1 + a2*y2 as an emulated i64.
 
-    ``ba`` entries may be scalars (static coefficients) or (cs, 128)
-    planes (runtime / per-channel coefficients)."""
-
-    def coef(v):
-        return jnp.broadcast_to(jnp.asarray(v, jnp.int32), x0.shape)
-
-    acc = _mul_i32_i32_to_i64(coef(ba[0]), x0)
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[1]), x1))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[2]), x2))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[3]), y1))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(coef(ba[4]), y2))
+    ``ba`` entries may be scalars (static coefficients), (cs, 128)
+    planes, or pre-split (ah, al) pairs (see `_split_coef`)."""
+    acc = _mul_coef_i32(ba[0], x0)
+    for v, z in zip(ba[1:], (x1, x2, y1, y2)):
+        acc = _add_i64(acc, _mul_coef_i32(v, z))
     return acc
 
 
@@ -564,23 +599,19 @@ def _wide_body(ba, f, clamp, carry, x0):
     y0hi, y0lo = carry[2], _as_u32(carry[3])
     y1hi, y1lo = carry[4], _as_u32(carry[5])
 
-    def coef(v):
-        # scalar (static) or (cs, 128) plane (runtime / per-channel)
-        return jnp.broadcast_to(jnp.asarray(v, jnp.int32), x0.shape)
+    b0, b1, b2, a1, a2 = ba
 
-    b0, b1, b2, a1, a2 = (coef(v) for v in ba)
-
-    acc = _mul_i32_i32_to_i64(b0, x0)
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(b1, x1))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(b2, x2))
+    acc = _mul_coef_i32(b0, x0)
+    acc = _add_i64(acc, _mul_coef_i32(b1, x1))
+    acc = _add_i64(acc, _mul_coef_i32(b2, x2))
     # split-word a*y: ((y_lo as u64 * a) >> 32) + y_hi * a — the >>32 of
     # the u32*i32 product is exactly its high word, which fits in i32.
-    s0, _ = _mul_u32_i32_to_i64(y0lo, a1)
+    s0, _ = _mul_u32_coef(y0lo, a1)
     acc = _add_i64(acc, _sext32(s0))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(a1, y0hi))
-    s1, _ = _mul_u32_i32_to_i64(y1lo, a2)
+    acc = _add_i64(acc, _mul_coef_i32(a1, y0hi))
+    s1, _ = _mul_u32_coef(y1lo, a2)
     acc = _add_i64(acc, _sext32(s1))
-    acc = _add_i64(acc, _mul_i32_i32_to_i64(a2, y1hi))
+    acc = _add_i64(acc, _mul_coef_i32(a2, y1hi))
     acc = _shl_i64(acc, 32 - f)
     y0 = acc[0]
     new_y0hi, new_y0lo = acc[0], acc[1]
@@ -875,14 +906,15 @@ def _df1_wide_bank_coef_impl(ba_planes, state, xs, f, clamp, *, time_chunk,
         [state.x[..., 0], state.x[..., 1], y0hi, y0lo, y1hi, y1lo], axis=0
     ).reshape(6, cs, 128)
 
-    def body(carry, x0, extras):
+    def prep(extras):
         (ba,) = extras
-        return _wide_body(
-            (ba[0], ba[1], ba[2], ba[3], ba[4]), f, clamp, carry, x0
-        )
+        return tuple(_split_coef(ba[i]) for i in range(5))
+
+    def body(carry, x0, ba_split):
+        return _wide_body(ba_split, f, clamp, carry, x0)
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, prep=prep), st_in, xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
         extra_in=(ba_planes,),
     )
@@ -926,14 +958,15 @@ def _df1_dither_bank_coef_impl(ba_planes, state, xs, f, clamp, *,
         axis=0,
     ).reshape(5, cs, 128)
 
-    def body(carry, x0, extras):
+    def prep(extras):
         (ba,) = extras
-        return _dither_body(
-            (ba[0], ba[1], ba[2], ba[3], ba[4]), f, clamp, carry, x0
-        )
+        return tuple(_split_coef(ba[i]) for i in range(5))
+
+    def body(carry, x0, ba_split):
+        return _dither_body(ba_split, f, clamp, carry, x0)
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, prep=prep), st_in, xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
         extra_in=(ba_planes,),
     )
