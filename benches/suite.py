@@ -312,7 +312,7 @@ def main(argv=None):
         def run_sos(states, xs):
             return bp.sos_bank_q(
                 np.stack([biquad.quantize_ba(ba5, 29)] * 4), states, xs, 29,
-                time_chunk=tc,
+                time_chunk=tc, unroll=4,
             )
 
         run_trials(

@@ -121,7 +121,7 @@ def _df1_bank_f32_impl(ba_static, state: Df1State, xs, *, time_chunk,
 
 
 def sos_bank_q(ba_stages, states, xs, f: int = 29, *, time_chunk: int = 256,
-               interpret: bool = False):
+               unroll: int = 2, interpret: bool = False):
     """N-stage fixed-point SOS cascade over a channel bank (one Pallas
     pass; the whole cascade advances per time step in VMEM).
 
@@ -139,15 +139,16 @@ def sos_bank_q(ba_stages, states, xs, f: int = 29, *, time_chunk: int = 256,
     ba_static = tuple(int(v) for v in ba_arr.reshape(-1))
     return _sos_bank_q_impl(
         ba_static, tuple(states), xs, f,
-        time_chunk=time_chunk, interpret=interpret,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ba_static", "f", "time_chunk", "interpret"),
+    static_argnames=("ba_static", "f", "time_chunk", "unroll", "interpret"),
 )
-def _sos_bank_q_impl(ba_static, states, xs, f, *, time_chunk, interpret):
+def _sos_bank_q_impl(ba_static, states, xs, f, *, time_chunk, unroll,
+                     interpret):
     # Everything incl. the state pack/unpack lives INSIDE one jit: each
     # stray host-side jnp op outside it costs a full ~5 ms dispatch
     # round trip on the axon tunnel (measured: the same kernel ran
@@ -182,7 +183,8 @@ def _sos_bank_q_impl(ba_static, states, xs, f, *, time_chunk, interpret):
         return tuple(rows_out), cur
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, unroll=unroll), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )
     st_out = st_out.reshape(4 * n_stages, c)
@@ -1077,7 +1079,8 @@ def _shr_i128limbs_to_i64(r3, r2, r1, r0, f: int):
 
 
 def df1_bank_q64(ba, state: Df1State, xs, f: int = 61, *,
-                 time_chunk: int = 256, interpret: bool = False):
+                 time_chunk: int = 256, unroll: int = 2,
+                 interpret: bool = False):
     """Q64<f> DF1 biquad bank, Pallas fast path.
 
     Args:
@@ -1092,7 +1095,8 @@ def df1_bank_q64(ba, state: Df1State, xs, f: int = 61, *,
 
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
     return _df1_bank_q64_impl(
-        ba_static, state, xs, f, time_chunk=time_chunk, interpret=interpret
+        ba_static, state, xs, f, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
 
 
@@ -1109,10 +1113,11 @@ def _join_i64(hi, lo):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ba_static", "f", "time_chunk", "interpret")
+    jax.jit,
+    static_argnames=("ba_static", "f", "time_chunk", "unroll", "interpret"),
 )
 def _df1_bank_q64_impl(ba_static, state: Df1State, xs, f: int, *,
-                       time_chunk: int, interpret: bool):
+                       time_chunk: int, unroll: int, interpret: bool):
     t, c = xs.shape
     assert c % 128 == 0
     assert 32 < f < 64
@@ -1153,7 +1158,7 @@ def _df1_bank_q64_impl(ba_static, state: Df1State, xs, f: int, *,
     )  # (t, 2cs, 128): [hi | lo] rows
 
     ys3, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs3,
+        _seq_bank_kernel(body, unroll=unroll), st_in, xs3,
         time_chunk=time_chunk, interpret=interpret,
     )
 

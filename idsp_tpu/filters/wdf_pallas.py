@@ -62,7 +62,7 @@ def _adapt_static(tpa: Tpa, x0, x1, a_const: int):
 
 def _wdf_kernel(
     st_in_ref, x_ref, y_ref, out_state_ref, state_ref, *, tpas: tuple,
-    coeffs: tuple
+    coeffs: tuple, unroll: int = 2
 ):
     """stages are a flat chain; state row j = z of stage j."""
     tq = pl.program_id(0)
@@ -74,7 +74,6 @@ def _wdf_kernel(
 
     tc = x_ref.shape[0]
     n = len(tpas)
-    unroll = 2
 
     def body(j, packed):
         # unpack once per unroll group; restacking the carry every

@@ -83,7 +83,8 @@ def test_pallas_sos_cascade_bitexact():
         rng.integers(-(2**24), 2**24, size=(t, c), dtype=np.int64).astype(np.int32)
     )
     states = [biquad.df1_init((c,), jnp.int32) for _ in range(3)]
-    sts_pl, ys_pl = sos_bank_q(bas, states, xs, 29, time_chunk=128, interpret=True)
+    sts_pl, ys_pl = sos_bank_q(bas, states, xs, 29, time_chunk=128,
+                               unroll=4, interpret=True)
 
     # stage-major reference
     y = xs
