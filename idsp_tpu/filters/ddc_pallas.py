@@ -392,3 +392,200 @@ def _df1_hbf1_bank_impl(ba_static, taps_static, state, tail, xs, f, *,
         y=jnp.stack([st_out[2], st_out[3]], axis=-1),
     )
     return new_state, tail_out.reshape(nt, c2), y2.reshape(t // 2, c2)
+
+
+# --- fused DF1 + two HBF decimation stages -----------------------------------
+
+
+def df1_hbf12_bank(ba, state: Df1State, tail1, tail2, xs, f: int = 29, *,
+                   taps1=None, taps2=None, time_chunk: int = 512,
+                   unroll: int = 4, interpret: bool = False):
+    """Fused Q32 DF1 biquad bank + half-band decimate-by-4 (stages 1+2).
+
+    Extends `df1_hbf1_bank`: after the vectorized stage-1 FIR, the
+    chunk's half-rate rows are parity-split into stage-2 odd/even
+    scratch (whole-row copies — row strides move vregs, unlike the
+    lane/sublane shuffles a (t, c) stride-2 slice costs) and stage 2
+    runs vectorized too.  The kernel emits at QUARTER rate.
+
+    Args:
+      tail1: (3*m1-2, c2) f32 stage-1 tail (`hbf1_tail_init(c2, m1)`).
+      tail2: (3*m2-2, c2) f32 stage-2 tail (`hbf1_tail_init(c2, m2)`).
+      taps1/taps2: one-sided half-band taps (default `HBF_TAPS[2]` /
+        `HBF_TAPS[1]` — the first two stages of the decimate-by-8
+        cascade).
+      xs: (t, c2) i32, t % 4 == 0.
+
+    Returns (state, tail1, tail2, y4) with y4 (t/4, c2) f32 — equal to
+    `df1_bank_q(out f32)` + two `hbf_dec_block(axis=0)` stages, with
+    the same FMA-bound float gate as `df1_hbf1_bank` (integer state
+    and tails exact).
+    """
+    import numpy as _np
+
+    if taps1 is None or taps2 is None:
+        from .hbf import HBF_TAPS
+
+        taps1 = HBF_TAPS[2] if taps1 is None else taps1
+        taps2 = HBF_TAPS[1] if taps2 is None else taps2
+    t1 = tuple(float(v) for v in _np.asarray(taps1))
+    t2 = tuple(float(v) for v in _np.asarray(taps2))
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    assert unroll % 2 == 0
+    return _df1_hbf12_bank_impl(
+        ba_static, t1, t2, state, tail1, tail2, xs, f,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "t1", "t2", "f", "time_chunk", "unroll",
+                     "interpret"),
+)
+def _df1_hbf12_bank_impl(ba_static, t1, t2, state, tail1, tail2, xs, f, *,
+                         time_chunk, unroll, interpret):
+    t, c2 = xs.shape
+    assert c2 % 128 == 0 and t % 4 == 0
+    cs2 = c2 // 128
+    m1, m2 = len(t1), len(t2)
+    ln1, me1 = 2 * m1 - 1, m1 - 1
+    ln2, me2 = 2 * m2 - 1, m2 - 1
+    nt1, nt2 = ln1 + me1, ln2 + me2
+
+    vmem_cap = max(8, (10 * 2**20) // (18 * c2))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk:
+        time_chunk //= 2
+    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
+    tc = time_chunk
+    n = tc // 2
+    n2 = tc // 4
+    grid = (t // tc,)
+
+    def fir_even(odd_s, even_s, ln, nn, taps):
+        acc = None
+        for i in range(len(taps)):
+            a = odd_s[i:i + nn]
+            b = odd_s[ln - i:ln - i + nn]
+            term = (b + a) * jnp.float32(taps[i])
+            acc = term if acc is None else acc + term
+        return acc + even_s[0:nn]
+
+    def kernel(st_in_ref, t1_in_ref, t2_in_ref, x_ref, y4_ref,
+               out_state_ref, out_t1_ref, out_t2_ref, state_ref,
+               t1_ref, t2_ref, odd1_ref, even1_ref, odd2_ref, even2_ref):
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+            t1_ref[...] = t1_in_ref[...]
+            t2_ref[...] = t2_in_ref[...]
+
+        odd1_ref[0:ln1] = t1_ref[0:ln1]
+        even1_ref[0:me1] = t1_ref[ln1:nt1]
+        odd2_ref[0:ln2] = t2_ref[0:ln2]
+        even2_ref[0:me2] = t2_ref[ln2:nt2]
+
+        def step(j, packed):
+            carry = tuple(packed[r] for r in range(4))
+            for u in range(unroll):
+                x0 = x_ref[j * unroll + u]
+                x1, x2, y1, y2 = carry
+                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+                carry = (x0, x1, y0, y1)
+                k = j * (unroll // 2) + u // 2
+                if u % 2 == 0:
+                    even1_ref[me1 + k] = y0.astype(jnp.float32)
+                else:
+                    odd1_ref[ln1 + k] = y0.astype(jnp.float32)
+            return jnp.stack(carry)
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        # stage 1, vectorized over the chunk
+        y2v = fir_even(odd1_ref, even1_ref, ln1, n, t1)
+        # parity-split rows into the stage-2 streams: reshape + unit
+        # slice (a stride-2 row slice lowers to a gather Mosaic
+        # rejects; the reshaped form is plain row addressing)
+        y2p = y2v.reshape(n2, 2, cs2, 128)
+        even2_ref[me2:me2 + n2] = y2p[:, 0]
+        odd2_ref[ln2:ln2 + n2] = y2p[:, 1]
+        # stage 2
+        y4_ref[...] = fir_even(odd2_ref, even2_ref, ln2, n2, t2)
+
+        t1_ref[0:ln1] = odd1_ref[n:n + ln1]
+        t1_ref[ln1:nt1] = even1_ref[n:n + me1]
+        t2_ref[0:ln2] = odd2_ref[n2:n2 + ln2]
+        t2_ref[ln2:nt2] = even2_ref[n2:n2 + me2]
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+            out_t1_ref[...] = t1_ref[...]
+            out_t2_ref[...] = t2_ref[...]
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs2, 128)
+
+    def fixed(r):
+        return pl.BlockSpec(
+            (r, cs2, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    y4, st_out, t1_out, t2_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed(4), fixed(nt1), fixed(nt2),
+            pl.BlockSpec(
+                (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (n2, cs2, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            fixed(4), fixed(nt1), fixed(nt2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t // 4, cs2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nt1, cs2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nt2, cs2, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, cs2, 128), jnp.int32),
+            pltpu.VMEM((nt1, cs2, 128), jnp.float32),
+            pltpu.VMEM((nt2, cs2, 128), jnp.float32),
+            pltpu.VMEM((n + ln1, cs2, 128), jnp.float32),
+            pltpu.VMEM((n + me1, cs2, 128), jnp.float32),
+            pltpu.VMEM((n2 + ln2, cs2, 128), jnp.float32),
+            pltpu.VMEM((n2 + me2, cs2, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(st_in, tail1.reshape(nt1, cs2, 128), tail2.reshape(nt2, cs2, 128),
+      xs.reshape(t, cs2, 128))
+
+    new_state = Df1State(
+        x=jnp.stack(
+            [st_out.reshape(4, c2)[0], st_out.reshape(4, c2)[1]], axis=-1
+        ),
+        y=jnp.stack(
+            [st_out.reshape(4, c2)[2], st_out.reshape(4, c2)[3]], axis=-1
+        ),
+    )
+    return (new_state, t1_out.reshape(nt1, c2), t2_out.reshape(nt2, c2),
+            y4.reshape(t // 4, c2))

@@ -254,6 +254,25 @@ def main():
     print(f"df1_hbf1_bank fir (<=4 ULP@scale)  "
           f"{'OK' if fir_ok else 'MISMATCH'} (dmax={dmax})", flush=True)
 
+    # fused DF1 + two HBF stages (quarter-rate output)
+    from idsp_tpu.filters.ddc_pallas import df1_hbf12_bank
+
+    taps2v = hbf.HBF_TAPS[1]
+    d1r = hbf.hbf_dec_init(len(taps1), (2 * c,), axis=0)
+    d2r = hbf.hbf_dec_init(len(taps2v), (2 * c,), axis=0)
+    d1r, y2r = hbf.hbf_dec_block(taps1, d1r, ys32, axis=0)
+    d2r, y4r = hbf.hbf_dec_block(taps2v, d2r, y2r, axis=0)
+    st12, t1o, t2o, y4 = df1_hbf12_bank(
+        ba_q, st2c, hbf1_tail_init(2 * c, len(taps1)),
+        hbf1_tail_init(2 * c, len(taps2v)), miq, 29, time_chunk=128,
+    )
+    check("df1_hbf12_bank state.y", st12.y, stf_ref.y)
+    dmax12 = float(_np2.abs(_np2.asarray(y4) - _np2.asarray(y4r)).max())
+    ok12 = dmax12 <= 8 * _np2.spacing(scale)
+    ok = ok and ok12
+    print(f"df1_hbf12_bank fir (<=8 ULP@scale) "
+          f"{'OK' if ok12 else 'MISMATCH'} (dmax={dmax12})", flush=True)
+
     # PLL
     stp = pll.init((c,))
     pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))

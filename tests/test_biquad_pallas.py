@@ -773,3 +773,55 @@ def test_pallas_q16_bank_bitexact():
                                       np.asarray(st_ref.x))
         np.testing.assert_array_equal(np.asarray(st_pl.y),
                                       np.asarray(st_ref.y))
+
+
+def test_pallas_fused_df1_hbf12():
+    # Two-stage fused decimator vs df1_bank_q(out f32) + two
+    # hbf_dec_block(axis=0) stages: integer state + tails exact, f32
+    # FIR outputs gated at the FMA bound (scaled), across streamed
+    # blocks.
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q
+    from idsp_tpu.filters.ddc_pallas import df1_hbf12_bank, hbf1_tail_init
+
+    c2, t = 128, 256
+    taps1, taps2 = hbf.HBF_TAPS[2], hbf.HBF_TAPS[1]
+    m1, m2 = len(taps1), len(taps2)
+    rng = np.random.default_rng(34)
+    ba_q = _ba_q(0.02)
+
+    st_ref = biquad.df1_init((c2,), jnp.int32)
+    d1_ref = hbf.hbf_dec_init(m1, (c2,), axis=0)
+    d2_ref = hbf.hbf_dec_init(m2, (c2,), axis=0)
+    st_f = biquad.df1_init((c2,), jnp.int32)
+    t1 = hbf1_tail_init(c2, m1)
+    t2 = hbf1_tail_init(c2, m2)
+
+    for _ in range(3):
+        xs = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t, c2),
+                         dtype=np.int64).astype(np.int32)
+        )
+        st_ref, ys = df1_bank_q(ba_q, st_ref, xs, 29, time_chunk=64,
+                                interpret=True, out_dtype=jnp.float32)
+        d1_ref, y2_ref = hbf.hbf_dec_block(taps1, d1_ref, ys, axis=0)
+        d2_ref, y4_ref = hbf.hbf_dec_block(taps2, d2_ref, y2_ref, axis=0)
+
+        st_f, t1, t2, y4 = df1_hbf12_bank(
+            ba_q, st_f, t1, t2, xs, 29, time_chunk=64, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(st_f.y),
+                                      np.asarray(st_ref.y))
+        np.testing.assert_array_equal(
+            np.asarray(t1[:2 * m1 - 1]), np.asarray(d1_ref.odd)
+        )
+        scale = np.float32(np.abs(np.asarray(ys)).max())
+        # stage-2 tails are FIR outputs of stage 1 -> FMA-bound gate
+        assert (
+            np.abs(np.asarray(t2[:2 * m2 - 1]) - np.asarray(d2_ref.odd))
+            .max() <= 4 * np.spacing(scale)
+        )
+        assert (
+            np.abs(np.asarray(y4) - np.asarray(y4_ref)).max()
+            <= 8 * np.spacing(scale)
+        )
