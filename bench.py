@@ -53,6 +53,31 @@ def main():
     def make_chain(mode: str):
         def chain(state, x):
             bq_iq, dec_i, dec_q, phase0 = state
+            if mode == "fold3":
+                # The ENTIRE filter chain in one Pallas kernel: DF1
+                # biquad + all three half-band stages, emitting at 1/8
+                # rate.  Ties fold2 on speed (stage 3 is cheap at 1/4
+                # rate) with one dispatch and 4x less output HBM.
+                from idsp_tpu.filters.ddc_pallas import (
+                    df1_hbf_cascade_bank,
+                )
+
+                idx = (
+                    jnp.arange(1, t + 1, dtype=jnp.int64) & 0xFFFFFFFF
+                ).astype(jnp.int32)
+                phases = phase0[None, :] + steps[None, :] * idx[:, None]
+                lo_re, lo_im = cossin(phases)
+                xi = x[:, None]
+                mi = fxp.q_apply(lo_re, xi, 32)
+                mq = fxp.q_apply(-lo_im, xi, 32)
+                miq = jnp.concatenate([mi, mq], axis=1)
+                bq_iq, tails, y8 = df1_hbf_cascade_bank(
+                    ba_q, bq_iq, dec_q, miq, 29,
+                    time_chunk=128, unroll=4,
+                )
+                new_state = (bq_iq, dec_i, tails,
+                             phase0 + steps * jnp.int32(t))
+                return new_state, (y8[:, :c], y8[:, c:])
             if mode == "fold2":
                 # Two HBF stages folded into the kernel (quarter-rate
                 # output); measured ~7% faster than fold with lower
@@ -171,6 +196,17 @@ def main():
         return jax.jit(chain)
 
     def make_state(mode: str):
+        if mode == "fold3":
+            from idsp_tpu.filters.ddc_pallas import hbf1_tail_init
+
+            return (
+                biquad.df1_init((2 * c,), jnp.int32),
+                None,
+                tuple(
+                    hbf1_tail_init(2 * c, m) for m in (5, 10, 23)
+                ),
+                jnp.zeros((c,), jnp.int32),
+            )
         if mode == "fold2":
             from idsp_tpu.filters.ddc_pallas import hbf1_tail_init
 
@@ -209,7 +245,8 @@ def main():
     # compile + warm; prefer the measured-fastest split composition,
     # then the fused mix+biquad kernel, the plain Pallas bank, the scan
     run = None
-    for mode in ("fold2", "fold", "split", "fused", "pallas", "scan"):
+    for mode in ("fold3", "fold2", "fold", "split", "fused", "pallas",
+                 "scan"):
         try:
             run = make_chain(mode)
             state = make_state(mode)

@@ -589,3 +589,215 @@ def _df1_hbf12_bank_impl(ba_static, t1, t2, state, tail1, tail2, xs, f, *,
     )
     return (new_state, t1_out.reshape(nt1, c2), t2_out.reshape(nt2, c2),
             y4.reshape(t // 4, c2))
+
+
+# --- fused DF1 + N-stage HBF decimation cascade ------------------------------
+
+
+def df1_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29, *,
+                         taps=None, depth: int = None,
+                         time_chunk: int = 128, unroll: int = 4,
+                         interpret: bool = False):
+    """Fused Q32 DF1 biquad bank + 2**depth half-band decimation, all
+    inside ONE Pallas kernel: the sequential biquad loop parity-splits
+    its output rows, then each cascade stage runs vectorized over the
+    chunk with its own parity split feeding the next.  The kernel
+    emits at 1/2**depth rate — with the XLA mix in front, the whole
+    headline DDC chain is a single kernel invocation.
+
+    Args:
+      tails: tuple of per-stage (3*m_d-2, c2) f32 tails
+        (`hbf1_tail_init(c2, m_d)` each).
+      taps: tuple of per-stage one-sided tap vectors, highest rate
+        first (default the leading `depth` stages of the reference
+        decimate-by-8 cascade: `HBF_TAPS[2], HBF_TAPS[1], HBF_TAPS[0]`).
+      xs: (t, c2) i32, t % 2**depth == 0.
+
+    Returns (state, tails, y) with y (t / 2**depth, c2) f32; integer
+    state and stage-1 tails bit-exact vs the unfused composition, FIR
+    outputs within the FMA bound (measured bit-exact on v5e).
+    """
+    import numpy as _np
+
+    if taps is None:
+        from .hbf import HBF_TAPS
+
+        depth = 3 if depth is None else depth
+        taps = tuple(HBF_TAPS[2 - d] for d in range(depth))
+    depth = len(taps)
+    taps_static = tuple(
+        tuple(float(v) for v in _np.asarray(tv)) for tv in taps
+    )
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    assert unroll % 2 == 0
+    assert len(tails) == depth
+    return _df1_hbf_cascade_impl(
+        ba_static, taps_static, state, tuple(tails), xs, f,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "taps_static", "f", "time_chunk",
+                     "unroll", "interpret"),
+)
+def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
+                          time_chunk, unroll, interpret):
+    t, c2 = xs.shape
+    depth = len(taps_static)
+    r = 1 << depth
+    assert c2 % 128 == 0 and t % r == 0
+    cs2 = c2 // 128
+    ms = [len(tv) for tv in taps_static]
+    lns = [2 * m - 1 for m in ms]
+    mes = [m - 1 for m in ms]
+    nts = [ln + me for ln, me in zip(lns, mes)]
+
+    vmem_cap = max(8, (10 * 2**20) // (18 * c2))
+    while time_chunk > vmem_cap:
+        time_chunk //= 2
+    while t % time_chunk or time_chunk % r:
+        time_chunk //= 2
+    assert time_chunk >= r and time_chunk >= 8
+    tc = time_chunk
+    ns = [tc >> (d + 1) for d in range(depth)]  # stage output rows
+    grid = (t // tc,)
+
+    def fir_even(odd_s, even_s, ln, nn, taps):
+        acc = None
+        for i in range(len(taps)):
+            a = odd_s[i:i + nn]
+            b = odd_s[ln - i:ln - i + nn]
+            term = (b + a) * jnp.float32(taps[i])
+            acc = term if acc is None else acc + term
+        return acc + even_s[0:nn]
+
+    def kernel(*refs):
+        (st_in_ref, *tin_refs) = refs[:1 + depth]
+        x_ref = refs[1 + depth]
+        y_ref = refs[2 + depth]
+        out_state_ref = refs[3 + depth]
+        tout_refs = refs[4 + depth:4 + 2 * depth]
+        state_ref = refs[4 + 2 * depth]
+        t_refs = refs[5 + 2 * depth:5 + 3 * depth]
+        oe_refs = refs[5 + 3 * depth:]  # odd0, even0, odd1, even1, ...
+
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+            for tr, tin in zip(t_refs, tin_refs):
+                tr[...] = tin[...]
+
+        for d in range(depth):
+            oe_refs[2 * d][0:lns[d]] = t_refs[d][0:lns[d]]
+            oe_refs[2 * d + 1][0:mes[d]] = t_refs[d][lns[d]:nts[d]]
+
+        def step(j, packed):
+            carry = tuple(packed[rr] for rr in range(4))
+            for u in range(unroll):
+                x0 = x_ref[j * unroll + u]
+                x1, x2, y1, y2 = carry
+                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+                carry = (x0, x1, y0, y1)
+                k = j * (unroll // 2) + u // 2
+                if u % 2 == 0:
+                    oe_refs[1][mes[0] + k] = y0.astype(jnp.float32)
+                else:
+                    oe_refs[0][lns[0] + k] = y0.astype(jnp.float32)
+            return jnp.stack(carry)
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        for d in range(depth):
+            yv = fir_even(oe_refs[2 * d], oe_refs[2 * d + 1], lns[d],
+                          ns[d], taps_static[d])
+            if d + 1 < depth:
+                # parity split rows into the next stage (reshape +
+                # unit slice; stride-2 row slices are gathers Mosaic
+                # rejects)
+                yp = yv.reshape(ns[d + 1], 2, cs2, 128)
+                oe_refs[2 * d + 3][mes[d + 1]:mes[d + 1] + ns[d + 1]] = (
+                    yp[:, 0]
+                )
+                oe_refs[2 * d + 2][lns[d + 1]:lns[d + 1] + ns[d + 1]] = (
+                    yp[:, 1]
+                )
+            else:
+                y_ref[...] = yv
+            t_refs[d][0:lns[d]] = oe_refs[2 * d][ns[d]:ns[d] + lns[d]]
+            t_refs[d][lns[d]:nts[d]] = (
+                oe_refs[2 * d + 1][ns[d]:ns[d] + mes[d]]
+            )
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+            for tr, tout in zip(t_refs, tout_refs):
+                tout[...] = tr[...]
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs2, 128)
+
+    def fixed(rr):
+        return pl.BlockSpec(
+            (rr, cs2, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [fixed(4)] + [fixed(nt) for nt in nts]
+            + [pl.BlockSpec(
+                (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            )]
+        ),
+        out_specs=(
+            [pl.BlockSpec(
+                (ns[-1], cs2, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            )]
+            + [fixed(4)] + [fixed(nt) for nt in nts]
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((t // r, cs2, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32)]
+            + [jax.ShapeDtypeStruct((nt, cs2, 128), jnp.float32)
+               for nt in nts]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((4, cs2, 128), jnp.int32)]
+            + [pltpu.VMEM((nt, cs2, 128), jnp.float32) for nt in nts]
+            + sum(
+                (
+                    [pltpu.VMEM((ns[d] + lns[d], cs2, 128), jnp.float32),
+                     pltpu.VMEM((ns[d] + mes[d], cs2, 128), jnp.float32)]
+                    for d in range(depth)
+                ),
+                [],
+            )
+        ),
+        interpret=interpret,
+    )(st_in, *[tl.reshape(nt, cs2, 128) for tl, nt in zip(tails, nts)],
+      xs.reshape(t, cs2, 128))
+
+    y = outs[0]
+    st_out = outs[1].reshape(4, c2)
+    t_outs = [o.reshape(nt, c2) for o, nt in zip(outs[2:], nts)]
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, tuple(t_outs), y.reshape(t // r, c2)

@@ -273,6 +273,23 @@ def main():
     print(f"df1_hbf12_bank fir (<=8 ULP@scale) "
           f"{'OK' if ok12 else 'MISMATCH'} (dmax={dmax12})", flush=True)
 
+    # fused DF1 + full 3-stage cascade (eighth-rate output)
+    from idsp_tpu.filters.ddc_pallas import df1_hbf_cascade_bank
+
+    taps3 = (hbf.HBF_TAPS[2], hbf.HBF_TAPS[1], hbf.HBF_TAPS[0])
+    dref = hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0)
+    dref, y8r = hbf.hbf_dec_cascade(dref, ys32, axis=0)
+    stc, tls, y8 = df1_hbf_cascade_bank(
+        ba_q, st2c, tuple(hbf1_tail_init(2 * c, len(tv)) for tv in taps3),
+        miq, 29, taps=taps3, time_chunk=128,
+    )
+    check("df1_hbf_cascade state.y", stc.y, stf_ref.y)
+    dmax3 = float(_np2.abs(_np2.asarray(y8) - _np2.asarray(y8r)).max())
+    ok3 = dmax3 <= 16 * _np2.spacing(scale)
+    ok = ok and ok3
+    print(f"df1_hbf_cascade fir (<=16 ULP@scale) "
+          f"{'OK' if ok3 else 'MISMATCH'} (dmax={dmax3})", flush=True)
+
     # PLL
     stp = pll.init((c,))
     pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))

@@ -825,3 +825,44 @@ def test_pallas_fused_df1_hbf12():
             np.abs(np.asarray(y4) - np.asarray(y4_ref)).max()
             <= 8 * np.spacing(scale)
         )
+
+
+def test_pallas_fused_df1_hbf_cascade_depth3():
+    # Generic depth-3 fused cascade vs the unfused composition:
+    # integer state exact; f32 outputs at the FMA bound.
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q
+    from idsp_tpu.filters.ddc_pallas import (
+        df1_hbf_cascade_bank, hbf1_tail_init,
+    )
+
+    c2, t = 128, 512
+    taps = (hbf.HBF_TAPS[2], hbf.HBF_TAPS[1], hbf.HBF_TAPS[0])
+    rng = np.random.default_rng(35)
+    ba_q = _ba_q(0.02)
+
+    st_ref = biquad.df1_init((c2,), jnp.int32)
+    dec_ref = hbf.hbf_dec_cascade_init(3, (c2,), axis=0)
+    st_f = biquad.df1_init((c2,), jnp.int32)
+    tails = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
+
+    for _ in range(3):
+        xs = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t, c2),
+                         dtype=np.int64).astype(np.int32)
+        )
+        st_ref, ys = df1_bank_q(ba_q, st_ref, xs, 29, time_chunk=128,
+                                interpret=True, out_dtype=jnp.float32)
+        dec_ref, y8_ref = hbf.hbf_dec_cascade(dec_ref, ys, axis=0)
+
+        st_f, tails, y8 = df1_hbf_cascade_bank(
+            ba_q, st_f, tails, xs, 29, taps=taps, time_chunk=128,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(st_f.y),
+                                      np.asarray(st_ref.y))
+        scale = np.float32(np.abs(np.asarray(ys)).max())
+        assert (
+            np.abs(np.asarray(y8) - np.asarray(y8_ref)).max()
+            <= 16 * np.spacing(scale)
+        )
