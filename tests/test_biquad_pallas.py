@@ -827,8 +827,12 @@ def test_pallas_fused_df1_hbf12():
         )
 
 
-def test_pallas_fused_df1_hbf_cascade_depth3():
-    # Generic depth-3 fused cascade vs the unfused composition:
+import pytest
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_pallas_fused_df1_hbf_cascade(depth):
+    # Generic fused cascade vs the unfused composition at every depth:
     # integer state exact; f32 outputs at the FMA bound.
     from idsp_tpu.filters import hbf
     from idsp_tpu.filters.biquad_pallas import df1_bank_q
@@ -837,12 +841,14 @@ def test_pallas_fused_df1_hbf_cascade_depth3():
     )
 
     c2, t = 128, 512
-    taps = (hbf.HBF_TAPS[2], hbf.HBF_TAPS[1], hbf.HBF_TAPS[0])
+    taps = tuple(hbf.HBF_TAPS[2 - d] for d in range(depth))
     rng = np.random.default_rng(35)
     ba_q = _ba_q(0.02)
 
     st_ref = biquad.df1_init((c2,), jnp.int32)
-    dec_ref = hbf.hbf_dec_cascade_init(3, (c2,), axis=0)
+    dec_ref = tuple(
+        hbf.hbf_dec_init(len(tv), (c2,), axis=0) for tv in taps
+    )
     st_f = biquad.df1_init((c2,), jnp.int32)
     tails = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
 
@@ -853,7 +859,12 @@ def test_pallas_fused_df1_hbf_cascade_depth3():
         )
         st_ref, ys = df1_bank_q(ba_q, st_ref, xs, 29, time_chunk=128,
                                 interpret=True, out_dtype=jnp.float32)
-        dec_ref, y8_ref = hbf.hbf_dec_cascade(dec_ref, ys, axis=0)
+        y8_ref = ys
+        new_dec = []
+        for tv, dr in zip(taps, dec_ref):
+            dr, y8_ref = hbf.hbf_dec_block(tv, dr, y8_ref, axis=0)
+            new_dec.append(dr)
+        dec_ref = tuple(new_dec)
 
         st_f, tails, y8 = df1_hbf_cascade_bank(
             ba_q, st_f, tails, xs, 29, taps=taps, time_chunk=128,
