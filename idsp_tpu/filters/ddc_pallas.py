@@ -37,7 +37,8 @@ from .biquad_pallas import _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32
 
 def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
                      time_chunk: int = 512, mix_sub: int = 16,
-                     interpret: bool = False, out_dtype=jnp.int32):
+                     lookup: str = "select", interpret: bool = False,
+                     out_dtype=jnp.int32):
     """Fused per-channel NCO mix + Q32 DF1 biquad bank.
 
     Args:
@@ -57,18 +58,18 @@ def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
     return _ddc_mix_df1_bank_impl(
         ba_static, state, phase0, steps, x, f,
-        time_chunk=time_chunk, mix_sub=mix_sub, interpret=interpret,
-        out_dtype=jnp.dtype(out_dtype),
+        time_chunk=time_chunk, mix_sub=mix_sub, lookup=lookup,
+        interpret=interpret, out_dtype=jnp.dtype(out_dtype),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ba_static", "f", "time_chunk", "mix_sub",
-                     "interpret", "out_dtype"),
+                     "lookup", "interpret", "out_dtype"),
 )
 def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
-                           time_chunk, mix_sub, interpret,
+                           time_chunk, mix_sub, lookup, interpret,
                            out_dtype=jnp.int32):
     t = x.shape[0]
     c = phase0.shape[0]
@@ -116,7 +117,7 @@ def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
                 + jnp.int32(s * sub + 1)
             )
             phase = pp_ref[0][None] + pp_ref[1][None] * idx  # wrapping i32
-            cos, sin = trig.cossin(phase, lookup="select")
+            cos, sin = trig.cossin(phase, lookup=lookup)
             xb = jnp.broadcast_to(
                 x_ref[s * sub:(s + 1) * sub], (sub, cs, 128)
             )
