@@ -105,12 +105,10 @@ def main():
                              phase0 + steps * jnp.int32(t))
                 return new_state, (ziq[:, :c], ziq[:, c:])
             if mode == "fold":
-                # Fastest measured composition (scripts/foldprobe run,
-                # benches/RESULTS.md): XLA mix -> fused DF1 + half-band
-                # stage-1 decimator kernel (the sequential loop writes
-                # even/odd rows to separate VMEM scratch, making the
-                # stride-2 de-interleave free, and the kernel emits at
-                # half rate) -> 2-stage time-major HBF for the rest.
+                # One HBF stage folded into the kernel (the sequential
+                # loop writes even/odd rows to separate VMEM scratch,
+                # making the stride-2 de-interleave free; half-rate
+                # output) -> 2-stage time-major HBF for the rest.
                 from idsp_tpu.filters.ddc_pallas import df1_hbf1_bank
 
                 idx = (
@@ -130,8 +128,8 @@ def main():
                              phase0 + steps * jnp.int32(t))
                 return new_state, (ziq[:, :c], ziq[:, c:])
             if mode == "split":
-                # Fastest measured composition (scripts/tpu_split_probe.py):
-                # XLA mix (cossin select chain fuses into the concat
+                # Unfolded control: XLA mix (cossin select chain fuses
+                # into the concat
                 # output buffer) -> Pallas DF1 bank with the f32 cast in
                 # the kernel epilogue -> time-major HBF (no transpose).
                 # The fully-fused mix+DF1 kernel (mode "fused") is
