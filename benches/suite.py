@@ -419,6 +419,26 @@ def main(argv=None):
             "q32 df1+hbf1 (pallas fused)", run_fold,
             (biquad.df1_init((c,), jnp.int32), hbf1_tail_init(c)), xs_i,
         )
+
+        # the whole filter chain in one kernel (DF1 + 3 HBF stages,
+        # 1/8-rate output — the bench.py headline front end)
+        from idsp_tpu.filters.ddc_pallas import df1_hbf_cascade_bank
+
+        taps3 = (hbf.HBF_TAPS[2], hbf.HBF_TAPS[1], hbf.HBF_TAPS[0])
+
+        def run_fold3(st, xs):
+            bq, tails = st
+            bq, tails, y8 = df1_hbf_cascade_bank(
+                ba_q29, bq, tails, xs, 29, taps=taps3,
+                time_chunk=128, unroll=4,
+            )
+            return (bq, tails), y8
+
+        run_trials(
+            "q32 df1+hbf dec8 (one kernel)", run_fold3,
+            (biquad.df1_init((c,), jnp.int32),
+             tuple(hbf1_tail_init(c, len(tv)) for tv in taps3)), xs_i,
+        )
     x_hbf_lo = jnp.asarray(rng.normal(size=(c, t // 8)).astype(np.float32))
     run_trials("hbf int8 cascade",
                jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x)),
