@@ -268,11 +268,11 @@ def main():
         return time.perf_counter() - t0
 
     # The chip's effective clock wanders run to run (observed +-30% on
-    # identical compiled fns); min over 6 trials approximates the true
+    # identical compiled fns); min over 8 trials approximates the true
     # capability floor.
     n1, n2 = 10, 40
     best = float("inf")
-    for _trial in range(6):
+    for _trial in range(8):
         d1 = timed(n1)
         d2 = timed(n2)
         best = min(best, max((d2 - d1) / (n2 - n1), 1e-9))
