@@ -260,3 +260,67 @@ def test_distributed_helpers_single_process():
     info = distributed.process_info()
     assert info["process_count"] == 1
     assert info["global_devices"] == n
+
+
+def test_channel_sharded_fused_cascade_bitexact():
+    # The headline chain's kernel (DF1 + 3-stage HBF cascade) under
+    # channel (dp) sharding: per-channel math is independent, so the
+    # 8-device result must be BIT-identical to the unsharded run —
+    # including the f32 FIR outputs (same per-channel op order).
+    from functools import partial
+
+    from idsp_tpu.design import Filter
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.ddc_pallas import (
+        df1_hbf_cascade_bank, hbf1_tail_init,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh({"dp": n_dev})
+    c2 = 128 * n_dev
+    t = 128
+    taps = (hbf.HBF_TAPS[2], hbf.HBF_TAPS[1], hbf.HBF_TAPS[0])
+    rng = np.random.default_rng(44)
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.02).lowpass()),
+            29,
+        )
+    )
+    xs = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t, c2), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    st = biquad.df1_init((c2,), jnp.int32)
+    tails = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
+
+    run = partial(
+        df1_hbf_cascade_bank, ba_q, f=29, taps=taps, time_chunk=64,
+        interpret=True,
+    )
+    st_ref, tails_ref, y_ref = run(st, tails, xs)
+
+    fn = jax.jit(
+        shard_map(
+            lambda s, tl, x: run(s, tl, x),
+            mesh=mesh,
+            in_specs=(
+                biquad.Df1State(x=P("dp", None), y=P("dp", None)),
+                (P(None, "dp"),) * 3,
+                P(None, "dp"),
+            ),
+            out_specs=(
+                biquad.Df1State(x=P("dp", None), y=P("dp", None)),
+                (P(None, "dp"),) * 3,
+                P(None, "dp"),
+            ),
+            # pallas_call out_shapes carry no vma annotation
+            check_vma=False,
+        )
+    )
+    st_sh, tails_sh, y_sh = fn(st, tails, xs)
+    np.testing.assert_array_equal(np.asarray(y_sh), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(st_sh.y), np.asarray(st_ref.y))
+    for a, b in zip(tails_sh, tails_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
