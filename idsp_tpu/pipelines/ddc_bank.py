@@ -104,9 +104,7 @@ def ddc_bank_block_biquad(
     # tpu_split_probe.py: 2.6 ms vs 3.2 ms for the mix+DF1 front end).
     from ..filters.biquad_pallas import df1_bank_q
 
-    phases = jnp.swapaxes(
-        accu.ramp(state.nco_phase, nco_steps, t), -1, -2
-    )
+    phases = accu.ramp_t(state.nco_phase, nco_steps, t)
     lo_re, lo_im = cossin(phases)
     xi = x[:, None]
     mi = fxp.q_apply(lo_re, xi, 32)
@@ -174,7 +172,7 @@ def ddc_bank_block(
     assert t % decimate == 0
 
     # per-channel NCO (t, c), continuing from the carried phase
-    phases = jnp.swapaxes(accu.ramp(state.nco_phase, nco_steps, t), -1, -2)
+    phases = accu.ramp_t(state.nco_phase, nco_steps, t)
     lo_re, lo_im = cossin(phases)
     # conjugate mix: x * exp(-j phi) with Q32<32> LO
     xi = x[:, None]

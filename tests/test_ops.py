@@ -358,3 +358,28 @@ def test_q_wire_roundtrip():
     assert fxp.q_from_wire(w, 2, mode="f32")[0] == 3
     # raw wraps into the storage dtype like serde's transparent ints
     assert fxp.q_from_wire(np.int64([2**31]), 0)[0] == -(2**31)
+
+
+def test_accu_ramp_t_matches_ramp():
+    # ramp_t == ramp transposed, including wrapping, for scalar and
+    # vector states.
+    from idsp_tpu.ops import accu
+
+    rng = np.random.default_rng(9)
+    st = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(5,), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    sp = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(5,), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    a = accu.ramp(st, sp, 33)
+    b = accu.ramp_t(st, sp, 33)
+    np.testing.assert_array_equal(np.asarray(a).T, np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(accu.ramp(jnp.int32(7), jnp.int32(2**30), 9)),
+        np.asarray(accu.ramp_t(jnp.int32(7), jnp.int32(2**30), 9)),
+    )
