@@ -368,7 +368,8 @@ def main(argv=None):
 
         run_trials(
             "wdf-ca-7 (pallas)",
-            lambda sts, xs: wdf_pair_bank(b0, b1, sts, xs, time_chunk=tc),
+            lambda sts, xs: wdf_pair_bank(b0, b1, sts, xs, time_chunk=tc,
+                                          unroll=4),
             wdf_states, xs_i,
         )
 

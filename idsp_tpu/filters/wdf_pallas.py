@@ -218,7 +218,7 @@ def _chain_body(stages, carry, x0):
 
 
 def wdf_chain_bank(stages, states, xs, *, time_chunk: int = 256,
-                   interpret: bool = False):
+                   unroll: int = 2, interpret: bool = False):
     """Serial chain of WDF adapter chains in ONE Pallas pass
     (`wdf.chain_block` fast path).
 
@@ -238,14 +238,16 @@ def wdf_chain_bank(stages, states, xs, *, time_chunk: int = 256,
     )
     return _wdf_chain_bank_impl(
         stages_static, tuple(states), xs, time_chunk=time_chunk,
-        interpret=interpret,
+        unroll=unroll, interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stages", "time_chunk", "interpret")
+    jax.jit,
+    static_argnames=("stages", "time_chunk", "unroll", "interpret"),
 )
-def _wdf_chain_bank_impl(stages, states, xs, *, time_chunk, interpret):
+def _wdf_chain_bank_impl(stages, states, xs, *, time_chunk, unroll=2,
+                         interpret=False):
     from .biquad_pallas import _bank_call, _seq_bank_kernel
 
     t, c = xs.shape
@@ -260,7 +262,8 @@ def _wdf_chain_bank_impl(stages, states, xs, *, time_chunk, interpret):
         return _chain_body(stages, carry, x0)
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, unroll=unroll), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )
     st_out = st_out.reshape(sum(orders), c)
@@ -275,7 +278,7 @@ def _wdf_chain_bank_impl(stages, states, xs, *, time_chunk, interpret):
 
 
 def wdf_pair_bank(branch0, branch1, states, xs, *, time_chunk: int = 256,
-                  interpret: bool = False):
+                  unroll: int = 2, interpret: bool = False):
     """Complementary allpass pair (`wdf.pair_block` fast path): both
     branch chain kernels and the butterfly in ONE jit (separate jits
     pay a full dispatch round trip each on the axon tunnel).
@@ -293,19 +296,23 @@ def wdf_pair_bank(branch0, branch1, states, xs, *, time_chunk: int = 256,
 
     return _wdf_pair_bank_impl(
         freeze(branch0), freeze(branch1), tuple(states[0]),
-        tuple(states[1]), xs, time_chunk=time_chunk, interpret=interpret,
+        tuple(states[1]), xs, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("b0", "b1", "time_chunk", "interpret"),
+    static_argnames=("b0", "b1", "time_chunk", "unroll", "interpret"),
 )
-def _wdf_pair_bank_impl(b0, b1, s0, s1, xs, *, time_chunk, interpret):
+def _wdf_pair_bank_impl(b0, b1, s0, s1, xs, *, time_chunk, unroll=2,
+                        interpret=False):
     s0, y0 = _wdf_chain_bank_impl(
-        b0, s0, xs, time_chunk=time_chunk, interpret=interpret
+        b0, s0, xs, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
     s1, y1 = _wdf_chain_bank_impl(
-        b1, s1, xs, time_chunk=time_chunk, interpret=interpret
+        b1, s1, xs, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
     return (s0, s1), (y0 + y1, y0 - y1)

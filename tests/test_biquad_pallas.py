@@ -409,7 +409,7 @@ def test_pallas_wdf_pair_bank_bitexact():
     )
     sts_ref, (lo_ref, hi_ref) = wdf.pair_block(b0, b1, sts, xs)
     sts_pl, (lo_pl, hi_pl) = wdf_pair_bank(
-        b0, b1, sts, xs, time_chunk=128, interpret=True
+        b0, b1, sts, xs, time_chunk=128, unroll=4, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(lo_pl), np.asarray(lo_ref))
     np.testing.assert_array_equal(np.asarray(hi_pl), np.asarray(hi_ref))
