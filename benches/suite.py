@@ -173,7 +173,8 @@ def main(argv=None):
     if c % 128 == 0:
         run_trials(
             "q32<29> df1 (pallas)",
-            lambda st, xs: bp.df1_bank_q(ba_q29, st, xs, 29, time_chunk=tc),
+            lambda st, xs: bp.df1_bank_q(ba_q29, st, xs, 29, time_chunk=tc,
+                                         unroll=4),
             biquad.df1_init((c,), jnp.int32), xs_i,
         )
         run_trials(
@@ -203,7 +204,7 @@ def main(argv=None):
         run_trials(
             "q16<13> df1 (pallas)",
             lambda st, xs: bp.df1_bank_q16(ba_q13_16, st, xs, 13,
-                                           time_chunk=tc),
+                                           time_chunk=tc, unroll=4),
             biquad.df1_init((c,), jnp.int16), xs_i16,
         )
 

@@ -199,7 +199,7 @@ def _sos_bank_q_impl(ba_static, states, xs, f, *, time_chunk, unroll,
 
 
 def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
-               interpret: bool = False, out_dtype=None):
+               unroll: int = 2, interpret: bool = False, out_dtype=None):
     """Fixed-point DF1 biquad over a channel bank, Pallas fast path.
 
     Args:
@@ -221,18 +221,20 @@ def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
 
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
     return _df1_bank_q_impl(
-        ba_static, state, xs, f, time_chunk=time_chunk, interpret=interpret,
+        ba_static, state, xs, f, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
         out_dtype=None if out_dtype is None else jnp.dtype(out_dtype),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ba_static", "f", "time_chunk", "interpret",
-                     "out_dtype"),
+    static_argnames=("ba_static", "f", "time_chunk", "unroll",
+                     "interpret", "out_dtype"),
 )
 def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
-                     time_chunk: int, interpret: bool, out_dtype=None):
+                     time_chunk: int, unroll: int = 2, interpret: bool = False,
+                     out_dtype=None):
     t, c = xs.shape
     assert c % 128 == 0, "channel count must be a multiple of 128"
     cs = c // 128
@@ -249,7 +251,8 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
         return (x0, x1, y0, y1), y
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, unroll=unroll), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret, out_dtype=out_dtype,
     )
     st_out = st_out.reshape(4, c)
@@ -1181,7 +1184,8 @@ def _df1_bank_q64_impl(ba_static, state: Df1State, xs, f: int, *,
 
 
 def df1_bank_q16(ba, state: Df1State, xs, f: int = 13, *,
-                 time_chunk: int = 512, interpret: bool = False):
+                 time_chunk: int = 512, unroll: int = 2,
+                 interpret: bool = False):
     """Q16<f> DF1 biquad bank, Pallas fast path.
 
     The i16 baseline variant (`Q16<13>`, tests/embedded/README.md:62):
@@ -1204,15 +1208,18 @@ def df1_bank_q16(ba, state: Df1State, xs, f: int = 13, *,
 
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
     return _df1_bank_q16_impl(
-        ba_static, state, xs, f, time_chunk=time_chunk, interpret=interpret
+        ba_static, state, xs, f, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ba_static", "f", "time_chunk", "interpret")
+    jax.jit,
+    static_argnames=("ba_static", "f", "time_chunk", "unroll", "interpret"),
 )
 def _df1_bank_q16_impl(ba_static, state: Df1State, xs, f: int, *,
-                       time_chunk: int, interpret: bool):
+                       time_chunk: int, unroll: int = 2,
+                       interpret: bool = False):
     t, c = xs.shape
     assert c % 128 == 0
     cs = c // 128
@@ -1234,7 +1241,7 @@ def _df1_bank_q16_impl(ba_static, state: Df1State, xs, f: int, *,
     ).astype(jnp.int32).reshape(4, cs, 128)
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in,
+        _seq_bank_kernel(body, unroll=unroll), st_in,
         xs.astype(jnp.int32).reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )

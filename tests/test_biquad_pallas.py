@@ -35,7 +35,7 @@ def test_pallas_df1_bank_bitexact():
 
     st_ref, ys_ref = biquad.df1_process_q(ba_q, 29, st, xs)
     st_pl, ys_pl = df1_bank_q(
-        ba_q, st, xs, 29, time_chunk=128, interpret=True
+        ba_q, st, xs, 29, time_chunk=128, unroll=4, interpret=True
     )
 
     np.testing.assert_array_equal(np.asarray(ys_pl), np.asarray(ys_ref))
