@@ -180,7 +180,7 @@ def main(argv=None):
         run_trials(
             "q32<29> df1 (pallas dyncoef)",
             lambda st, xs: bp.df1_bank_q_coef(
-                ba_q29, st, xs, 29, time_chunk=tc
+                ba_q29, st, xs, 29, time_chunk=tc, unroll=4
             ),
             biquad.df1_init((c,), jnp.int32), xs_i,
         )

@@ -767,7 +767,8 @@ def _df1_dither_bank_impl(ba_static, state, xs, f, clamp, *, time_chunk,
 
 
 def df1_bank_q_coef(ba_planes, state: Df1State, xs, f: int = 29, *,
-                    time_chunk: int = 256, interpret: bool = False):
+                    time_chunk: int = 256, unroll: int = 2,
+                    interpret: bool = False):
     """DF1 bank with *runtime* coefficients: retune never recompiles.
 
     Coefficients arrive as traced data — a (5,) vector (shared across
@@ -782,15 +783,16 @@ def df1_bank_q_coef(ba_planes, state: Df1State, xs, f: int = 29, *,
     if ba_planes.ndim == 1:
         ba_planes = jnp.broadcast_to(ba_planes[:, None], (5, c))
     return _df1_bank_q_coef_impl(
-        ba_planes, state, xs, f, time_chunk=time_chunk, interpret=interpret
+        ba_planes, state, xs, f, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f", "time_chunk", "interpret")
+    jax.jit, static_argnames=("f", "time_chunk", "unroll", "interpret")
 )
 def _df1_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, *, time_chunk,
-                          interpret):
+                          unroll=2, interpret=False):
     t, c = xs.shape
     assert c % 128 == 0
     cs = c // 128
@@ -810,7 +812,8 @@ def _df1_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, *, time_chunk,
         return (x0, x1, y0, y1), y0
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body, prep=prep), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, unroll=unroll, prep=prep), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
         extra_in=(ba_planes.reshape(5, cs, 128),),
     )

@@ -67,7 +67,7 @@ def _lp_body(k_static, n, carry, x0):
 
 
 def lowpass_bank(k, state: LowpassState, xs, *, time_chunk: int = 256,
-                 interpret: bool = False):
+                 unroll: int = 2, interpret: bool = False):
     """Integer lowpass bank (N=1 or N=2), Pallas fast path.
 
     Args:
@@ -81,15 +81,17 @@ def lowpass_bank(k, state: LowpassState, xs, *, time_chunk: int = 256,
 
     k_static = tuple(int(v) for v in _np.asarray(k).reshape(-1))
     return _lowpass_bank_impl(
-        k_static, state, xs, time_chunk=time_chunk, interpret=interpret
+        k_static, state, xs, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_static", "time_chunk", "interpret")
+    jax.jit, static_argnames=("k_static", "time_chunk", "unroll",
+                              "interpret")
 )
 def _lowpass_bank_impl(k_static, state: LowpassState, xs, *, time_chunk,
-                       interpret):
+                       unroll=2, interpret=False):
     t, c = xs.shape
     assert c % 128 == 0
     cs = c // 128
@@ -106,7 +108,8 @@ def _lowpass_bank_impl(k_static, state: LowpassState, xs, *, time_chunk,
         return _lp_body(k_static, n, carry, x0)
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, unroll=unroll), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )
     st_out = st_out.reshape(2 * n, c)

@@ -92,7 +92,7 @@ def _pll_body(ba, carry, x):
 
 
 def pll_bank(ba, state: PllState, xs, *, time_chunk: int = 256,
-             interpret: bool = False):
+             unroll: int = 2, interpret: bool = False):
     """PLL channel bank, Pallas fast path.
 
     Args:
@@ -106,14 +106,17 @@ def pll_bank(ba, state: PllState, xs, *, time_chunk: int = 256,
 
     ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:3])
     return _pll_bank_impl(
-        ba_static, state, xs, time_chunk=time_chunk, interpret=interpret
+        ba_static, state, xs, time_chunk=time_chunk, unroll=unroll,
+        interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ba_static", "time_chunk", "interpret")
+    jax.jit, static_argnames=("ba_static", "time_chunk", "unroll",
+                              "interpret")
 )
-def _pll_bank_impl(ba_static, state: PllState, xs, *, time_chunk, interpret):
+def _pll_bank_impl(ba_static, state: PllState, xs, *, time_chunk, unroll=2,
+                   interpret=False):
     t, c = xs.shape
     assert c % 128 == 0
     cs = c // 128
@@ -138,7 +141,8 @@ def _pll_bank_impl(ba_static, state: PllState, xs, *, time_chunk, interpret):
         return _pll_body(ba_static, carry, x)
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
+        _seq_bank_kernel(body, unroll=unroll), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )
     st_out = st_out.reshape(9, c)

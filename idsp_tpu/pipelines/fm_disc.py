@@ -83,7 +83,8 @@ def fm_receiver(state: FmDiscState, x_re, x_im, carrier, ba_q, f: int = 30):
         # bit-identical to the scan
         from ..filters.biquad_pallas import df1_bank_q_coef
 
-        deemph_state, y = df1_bank_q_coef(ba_q, state.deemph, dphi, f)
+        deemph_state, y = df1_bank_q_coef(ba_q, state.deemph, dphi, f,
+                                          unroll=4)
     else:
         deemph_state, y = biquad.df1_process_q(ba_q, f, state.deemph, dphi)
     new_state = FmDiscState(
