@@ -119,11 +119,19 @@ def main(argv=None):
         row = Row(name)
         for _ in range(trials):
             # min-of-2 per leg: the tunnel's dispatch latency has
-            # multi-ms spikes that otherwise leak into the difference
-            d1 = min(timed(iters), timed(iters))
-            d2 = min(timed(3 * iters), timed(3 * iters))
-            dt = max((d2 - d1) / (2 * iters), 1e-9)
-            row.rates.append(samples / dt)
+            # multi-ms spikes that otherwise leak into the difference.
+            # A non-positive difference (clock wander mid-trial) is a
+            # failed measurement — retry, never record a bogus rate.
+            for _attempt in range(3):
+                d1 = min(timed(iters), timed(iters))
+                d2 = min(timed(3 * iters), timed(3 * iters))
+                dt = (d2 - d1) / (2 * iters)
+                if dt > 0:
+                    row.rates.append(samples / dt)
+                    break
+        if not row.rates:
+            print(f"# {name}: no valid trials (clock wander)")
+            return
         rows.append(row)
         print(row.line(), flush=True)
 
