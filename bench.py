@@ -53,6 +53,39 @@ def main():
     def make_chain(mode: str):
         def chain(state, x):
             bq_iq, dec_i, dec_q, phase0 = state
+            if mode == "fastlo_fused":
+                # The ENTIRE chain in one kernel: in-kernel fast-LO mix
+                # (coarse/fine factored tables) + DF1 + 3-stage HBF.
+                # The full-rate mixed stream never touches HBM.
+                from idsp_tpu.filters.ddc_pallas import (
+                    fastlo_ddc_cascade_bank,
+                )
+
+                bq_iq, tails, phase0, y8 = fastlo_ddc_cascade_bank(
+                    ba_q, bq_iq, dec_q, phase0, steps, x, 29,
+                    time_chunk=128, unroll=4,
+                )
+                new_state = (bq_iq, dec_i, tails, phase0)
+                return new_state, (y8[:, :c], y8[:, c:])
+            if mode == "fold3_fastlo":
+                # Fast-LO variant of fold3: coarse/fine factored LO
+                # (ops/fastlo.py) replaces the per-sample 128-way
+                # select-chain cossin with one f32 complex multiply.
+                # SNR-gated (not bit-exact): passes the reference DDS
+                # spectral suite with margin (tests/test_fastlo.py).
+                from idsp_tpu.filters.ddc_pallas import (
+                    df1_hbf_cascade_bank,
+                )
+                from idsp_tpu.ops.fastlo import fastlo_mix
+
+                miq = fastlo_mix(x, phase0, steps, 128)
+                bq_iq, tails, y8 = df1_hbf_cascade_bank(
+                    ba_q, bq_iq, dec_q, miq, 29,
+                    time_chunk=128, unroll=4,
+                )
+                new_state = (bq_iq, dec_i, tails,
+                             phase0 + steps * jnp.int32(t))
+                return new_state, (y8[:, :c], y8[:, c:])
             if mode == "fold3":
                 # The ENTIRE filter chain in one Pallas kernel: DF1
                 # biquad + all three half-band stages, emitting at 1/8
@@ -194,7 +227,7 @@ def main():
         return jax.jit(chain)
 
     def make_state(mode: str):
-        if mode == "fold3":
+        if mode in ("fold3", "fold3_fastlo", "fastlo_fused"):
             from idsp_tpu.filters.ddc_pallas import hbf1_tail_init
 
             return (
@@ -240,11 +273,13 @@ def main():
             jnp.zeros((c,), jnp.int32),
         )
 
-    # compile + warm; prefer the measured-fastest split composition,
-    # then the fused mix+biquad kernel, the plain Pallas bank, the scan
+    # compile + warm; prefer the fast-LO fully-fused chain, then the
+    # exact-LO folded kernels, the split composition, and the scan.
+    # The selected mode is reported in the JSON so a silent fallback
+    # (a broken fast path degrading the headline) is visible.
     run = None
-    for mode in ("fold3", "fold2", "fold", "split", "fused", "pallas",
-                 "scan"):
+    for mode in ("fastlo_fused", "fold3_fastlo", "fold3", "fold2", "fold",
+                 "split", "fused", "pallas", "scan"):
         try:
             run = make_chain(mode)
             state = make_state(mode)
@@ -269,14 +304,22 @@ def main():
 
     # The chip's effective clock wanders run to run (observed +-30% on
     # identical compiled fns); min over 8 trials approximates the true
-    # capability floor.
+    # capability floor.  Each leg is min-of-2 (a dispatch-latency spike
+    # in the d1 leg would shrink the difference and overstate the
+    # rate), and a non-positive difference is a failed measurement that
+    # is retried, never recorded — same discipline as benches/suite.py.
     n1, n2 = 10, 40
     best = float("inf")
     for _trial in range(8):
-        d1 = timed(n1)
-        d2 = timed(n2)
-        best = min(best, max((d2 - d1) / (n2 - n1), 1e-9))
+        for _attempt in range(3):
+            d1 = min(timed(n1), timed(n1))
+            d2 = min(timed(n2), timed(n2))
+            dt = (d2 - d1) / (n2 - n1)
+            if dt > 0:
+                best = min(best, dt)
+                break
 
+    assert best < float("inf"), "no valid timing trial (clock wander)"
     rate = c * t / best
     baseline = 1e9
     print(
@@ -286,6 +329,7 @@ def main():
                 "value": rate,
                 "unit": "samples/s",
                 "vs_baseline": rate / baseline,
+                "mode": mode,
             }
         )
     )

@@ -1,24 +1,29 @@
-"""Fused NCO-mix + DF1-biquad Pallas kernel for the DDC chain front end.
+"""Fused DDC-chain Pallas kernels: NCO mix + IIR bank + HBF cascade.
 
 The headline chain (bench.py / examples analog: fm_disc.rs:126-140 runs
 the whole per-sample stack fused) previously materialized the mixed
 I/Q stream ``miq`` (t, 2c) in HBM between the XLA mix pass and the
 Pallas biquad bank — 2x128 MB of pure HBM traffic per 32 K block at
-c=512.  This kernel computes the mix *inside* the biquad kernel:
+c=512.  The kernels here fold chain stages into one another:
 
-* per time chunk, the NCO phase block is a closed-form ramp
-  ``phase0 + step * (i+1)`` built from an in-kernel iota (no scan);
-* `ops.trig.cossin` (octant fold + 128-entry select-chain LUT +
-  interpolation — pure elementwise jnp) traces directly into the
-  kernel, vectorized over the whole (tc, c) block at full VPU width;
-* the conjugate mix ``(cos*x)>>32, (-sin*x)>>32`` uses the exact
-  limb-emulated i64 product high word (== `fxp.q_apply(.., 32)`);
-* the mixed block lands in VMEM scratch and the sequential DF1 loop
-  consumes it without ever touching HBM.
+* `ddc_mix_df1_bank` — exact-LO mix (the full `cossin` select chain
+  traced in-kernel) + DF1 bank, bit-identical to the split pipeline.
+* the fused-cascade family (one composer, `_run_fused_cascade`): a
+  sequential IIR bank whose loop parity-splits its output rows into
+  VMEM scratch, followed by up to N vectorized half-band FIR stages,
+  emitting at 1/2**N rate — the whole filter chain in ONE kernel.
+  Instantiations: `df1_hbf1_bank`, `df1_hbf12_bank`,
+  `df1_hbf_cascade_bank` (plain DF1), `df1_clamp_hbf_cascade_bank`
+  (anti-windup DF1, biquad.rs:399-404), and `fastlo_ddc_cascade_bank`
+  (coarse/fine factored LO mixed in the kernel prologue — the entire
+  headline chain in one kernel invocation, see ops/fastlo.py for the
+  SNR gate).
 
-Bit-identical to the unfused ``cossin -> q_apply -> df1_bank_q``
-pipeline (same select-chain LUT, same truncations) — gated by
-tests/test_biquad_pallas.py and scripts/tpu_validate_kernels.py.
+Bit-exactness: integer IIR state and outputs are bit-identical to the
+unfused composition (same limb-emulated i64 MACs, same truncations);
+the f32 FIR outputs may differ by ~1 ULP of FMA contraction (measured
+bit-exact on v5e); the fast-LO mix is SNR-gated, not bit-exact
+(tests/test_fastlo.py).
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import trig
+from ..ops import fastlo as _fastlo
 from .biquad import Df1State
 from .biquad_pallas import _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32
 
@@ -201,488 +207,156 @@ def _ddc_mix_df1_bank_impl(ba_static, state, phase0, steps, x, f, *,
     return new_state, new_phase0, ys.reshape(t, 2 * c)
 
 
-# --- fused DF1 + first HBF decimation stage ---------------------------------
+# --- fused IIR + N-stage HBF decimation cascade (kernel composer) ------------
 #
 # The DDC chain's HBF cost is dominated by data movement, not FIR math:
 # the stride-2 even/odd de-interleave of the full-rate (t, 2c) stream is
-# a cross-sublane shuffle, and the full-rate block makes one extra HBM
-# round trip between the biquad kernel and the first decimator.  Fusing
-# stage 1 into the biquad kernel makes BOTH free: the sequential DF1
-# loop writes even/odd output rows to separate VMEM scratch buffers
-# directly (parity is static under unroll=2), and the half-band FIR
-# then runs vectorized over contiguous rows.  Kernel output bandwidth
-# halves (t/2 rows).  Mirrors the reference's fused per-sample stack
+# a cross-sublane shuffle, and the full-rate block makes an extra HBM
+# round trip between the biquad kernel and each decimator.  Fusing the
+# cascade into the IIR kernel makes BOTH free: the sequential IIR loop
+# writes even/odd output rows to separate VMEM scratch directly (parity
+# is static under even unroll), each half-band FIR then runs vectorized
+# over contiguous rows, and the kernel output bandwidth shrinks by
+# 2**depth.  Mirrors the reference's fused per-sample stack
 # (examples/fm_disc.rs:126-140) and the hbf.rs:156-192 decimator.
+#
+# `_run_fused_cascade` is the single composer owning the BlockSpec /
+# scratch / parity plumbing; variants differ only in the IIR `body`
+# (plain DF1 or anti-windup clamp DF1) and the optional in-kernel mix
+# prologue (the coarse/fine fast LO).
 
 
 def hbf1_tail_init(c2: int, m: int = 5):
-    """Zero tail for the fused stage-1 decimator: (2m-1) odd-sample FIR
-    rows + (m-1) even-sample delay rows, packed (3m-2, c2) f32 —
-    the Pallas-kernel packing of `hbf.hbf_dec_init(m, axis=0)`."""
+    """Zero tail for a fused cascade stage: (2m-1) odd-sample FIR rows +
+    (m-1) even-sample delay rows, packed (3m-2, c2) f32 — the
+    Pallas-kernel packing of `hbf.hbf_dec_init(m, axis=0)`."""
     return jnp.zeros((3 * m - 2, c2), jnp.float32)
 
 
-def df1_hbf1_bank(ba, state: Df1State, tail, xs, f: int = 29, *,
-                  taps=None, time_chunk: int = 512, unroll: int = 2,
-                  interpret: bool = False):
-    """Fused Q32 DF1 biquad bank + half-band decimate-by-2 (stage 1).
-
-    Args:
-      ba: (5,) Q<f> coefficients (static, baked).
-      state: Df1State over c2 lanes (c2 % 128 == 0).
-      tail: (3m-2, c2) f32 carried decimator tail (`hbf1_tail_init`);
-        rows [0, 2m-1) = odd-sample FIR tail, rows [2m-1, 3m-2) =
-        even-sample delay tail.
-      xs: (t, c2) i32 input block, t even.
-      taps: one-sided half-band taps (default `hbf.HBF_TAPS[2]`, the
-        5-tap stage that leads the decimate-by-8 cascade).
-
-    Returns (new_state, new_tail, y2) with y2 (t/2, c2) f32 — equal to
-    ``df1_bank_q(out_dtype=f32)`` followed by
-    ``hbf.hbf_dec_block(taps, ..., axis=0)``.  The integer DF1 state
-    and the carried tails are bit-exact (exact copies); the f32 FIR
-    output may differ from the XLA composition by ~1 ULP (mul+add
-    contracts to FMA differently across the two graphs) — a documented
-    float fast path, gated to <= 2 ULP by tests and
-    scripts/tpu_validate_kernels.py.
-    """
-    import numpy as _np
-
-    if taps is None:
-        from .hbf import HBF_TAPS
-
-        taps = HBF_TAPS[2]
-    taps_static = tuple(float(v) for v in _np.asarray(taps))
-    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
-    assert unroll % 2 == 0, "unroll must be even (even/odd parity)"
-    return _df1_hbf1_bank_impl(
-        ba_static, taps_static, state, tail, xs, f,
-        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("ba_static", "taps_static", "f", "time_chunk",
-                     "unroll", "interpret"),
-)
-def _df1_hbf1_bank_impl(ba_static, taps_static, state, tail, xs, f, *,
-                        time_chunk, unroll, interpret):
-    t, c2 = xs.shape
-    assert c2 % 128 == 0 and t % 2 == 0
-    cs2 = c2 // 128
-    m = len(taps_static)
-    ln = 2 * m - 1  # odd-tail rows
-    me = m - 1  # even-tail rows
-    nt = ln + me
-
-    # VMEM: x-in (tc, cs2, 128) i32 + y2-out (tc/2, ...) f32, both
-    # double-buffered, + odd/even f32 work scratch (~tc rows) ->
-    # ~18 B per sample-channel.
-    vmem_cap = max(8, (10 * 2**20) // (18 * c2))
-    while time_chunk > vmem_cap:
-        time_chunk //= 2
-    while t % time_chunk:
-        time_chunk //= 2
-    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
-    tc = time_chunk
-    n = tc // 2  # decimated rows per chunk
-    grid = (t // tc,)
-
-    def kernel(st_in_ref, tail_in_ref, x_ref, y2_ref, out_state_ref,
-               out_tail_ref, state_ref, tail_ref, odd_ref, even_ref):
-        tq = pl.program_id(0)
-        n_t = pl.num_programs(0)
-
-        @pl.when(tq == 0)
-        def _():
-            state_ref[...] = st_in_ref[...]
-            tail_ref[...] = tail_in_ref[...]
-
-        odd_ref[0:ln] = tail_ref[0:ln]
-        even_ref[0:me] = tail_ref[ln:nt]
-
-        def step(j, packed):
-            # even unroll => sample parity is static per unrolled slot
-            carry = tuple(packed[r] for r in range(4))
-            for u in range(unroll):
-                x0 = x_ref[j * unroll + u]
-                x1, x2, y1, y2 = carry
-                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
-                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-                carry = (x0, x1, y0, y1)
-                k = j * (unroll // 2) + u // 2  # decimated row index
-                if u % 2 == 0:
-                    even_ref[me + k] = y0.astype(jnp.float32)
-                else:
-                    odd_ref[ln + k] = y0.astype(jnp.float32)
-            return jnp.stack(carry)
-
-        st = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
-        )
-        state_ref[...] = st
-
-        # vectorized half-band FIR over the chunk, same op order as
-        # hbf.symmetric_fir (small-to-large taps) + even bypass
-        acc = None
-        for i in range(m):
-            a = odd_ref[i:i + n]
-            b = odd_ref[ln - i:ln - i + n]
-            term = (b + a) * jnp.float32(taps_static[i])
-            acc = term if acc is None else acc + term
-        y2_ref[...] = acc + even_ref[0:n]
-
-        tail_ref[0:ln] = odd_ref[n:n + ln]
-        tail_ref[ln:nt] = even_ref[n:n + me]
-
-        @pl.when(tq == n_t - 1)
-        def _():
-            out_state_ref[...] = st
-            out_tail_ref[...] = tail_ref[...]
-
-    st_in = jnp.stack(
-        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
-        axis=0,
-    ).reshape(4, cs2, 128)
-    tail_in = tail.reshape(nt, cs2, 128)
-
-    def fixed(r, dt):
-        del dt
-        return pl.BlockSpec(
-            (r, cs2, 128), lambda i: (i * 0, i * 0, i * 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    y2, st_out, tail_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            fixed(4, jnp.int32),
-            fixed(nt, jnp.float32),
-            pl.BlockSpec(
-                (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (n, cs2, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            fixed(4, jnp.int32),
-            fixed(nt, jnp.float32),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t // 2, cs2, 128), jnp.float32),
-            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
-            jax.ShapeDtypeStruct((nt, cs2, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((4, cs2, 128), jnp.int32),
-            pltpu.VMEM((nt, cs2, 128), jnp.float32),
-            pltpu.VMEM((n + ln, cs2, 128), jnp.float32),
-            pltpu.VMEM((n + me, cs2, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(st_in, tail_in, xs.reshape(t, cs2, 128))
-
-    st_out = st_out.reshape(4, c2)
-    new_state = Df1State(
-        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
-        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
-    )
-    return new_state, tail_out.reshape(nt, c2), y2.reshape(t // 2, c2)
-
-
-# --- fused DF1 + two HBF decimation stages -----------------------------------
-
-
-def df1_hbf12_bank(ba, state: Df1State, tail1, tail2, xs, f: int = 29, *,
-                   taps1=None, taps2=None, time_chunk: int = 512,
-                   unroll: int = 4, interpret: bool = False):
-    """Fused Q32 DF1 biquad bank + half-band decimate-by-4 (stages 1+2).
-
-    Extends `df1_hbf1_bank`: after the vectorized stage-1 FIR, the
-    chunk's half-rate rows are parity-split into stage-2 odd/even
-    scratch (whole-row copies — row strides move vregs, unlike the
-    lane/sublane shuffles a (t, c) stride-2 slice costs) and stage 2
-    runs vectorized too.  The kernel emits at QUARTER rate.
-
-    Args:
-      tail1: (3*m1-2, c2) f32 stage-1 tail (`hbf1_tail_init(c2, m1)`).
-      tail2: (3*m2-2, c2) f32 stage-2 tail (`hbf1_tail_init(c2, m2)`).
-      taps1/taps2: one-sided half-band taps (default `HBF_TAPS[2]` /
-        `HBF_TAPS[1]` — the first two stages of the decimate-by-8
-        cascade).
-      xs: (t, c2) i32, t % 4 == 0.
-
-    Returns (state, tail1, tail2, y4) with y4 (t/4, c2) f32 — equal to
-    `df1_bank_q(out f32)` + two `hbf_dec_block(axis=0)` stages, with
-    the same FMA-bound float gate as `df1_hbf1_bank` (integer state
-    and tails exact).
-    """
-    import numpy as _np
-
-    if taps1 is None or taps2 is None:
-        from .hbf import HBF_TAPS
-
-        taps1 = HBF_TAPS[2] if taps1 is None else taps1
-        taps2 = HBF_TAPS[1] if taps2 is None else taps2
-    t1 = tuple(float(v) for v in _np.asarray(taps1))
-    t2 = tuple(float(v) for v in _np.asarray(taps2))
-    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
-    assert unroll % 2 == 0
-    return _df1_hbf12_bank_impl(
-        ba_static, t1, t2, state, tail1, tail2, xs, f,
-        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("ba_static", "t1", "t2", "f", "time_chunk", "unroll",
-                     "interpret"),
-)
-def _df1_hbf12_bank_impl(ba_static, t1, t2, state, tail1, tail2, xs, f, *,
-                         time_chunk, unroll, interpret):
-    t, c2 = xs.shape
-    assert c2 % 128 == 0 and t % 4 == 0
-    cs2 = c2 // 128
-    m1, m2 = len(t1), len(t2)
-    ln1, me1 = 2 * m1 - 1, m1 - 1
-    ln2, me2 = 2 * m2 - 1, m2 - 1
-    nt1, nt2 = ln1 + me1, ln2 + me2
-
-    vmem_cap = max(8, (10 * 2**20) // (18 * c2))
-    while time_chunk > vmem_cap:
-        time_chunk //= 2
-    while t % time_chunk:
-        time_chunk //= 2
-    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
-    tc = time_chunk
-    n = tc // 2
-    n2 = tc // 4
-    grid = (t // tc,)
-
-    def fir_even(odd_s, even_s, ln, nn, taps):
-        acc = None
-        for i in range(len(taps)):
-            a = odd_s[i:i + nn]
-            b = odd_s[ln - i:ln - i + nn]
-            term = (b + a) * jnp.float32(taps[i])
-            acc = term if acc is None else acc + term
-        return acc + even_s[0:nn]
-
-    def kernel(st_in_ref, t1_in_ref, t2_in_ref, x_ref, y4_ref,
-               out_state_ref, out_t1_ref, out_t2_ref, state_ref,
-               t1_ref, t2_ref, odd1_ref, even1_ref, odd2_ref, even2_ref):
-        tq = pl.program_id(0)
-        n_t = pl.num_programs(0)
-
-        @pl.when(tq == 0)
-        def _():
-            state_ref[...] = st_in_ref[...]
-            t1_ref[...] = t1_in_ref[...]
-            t2_ref[...] = t2_in_ref[...]
-
-        odd1_ref[0:ln1] = t1_ref[0:ln1]
-        even1_ref[0:me1] = t1_ref[ln1:nt1]
-        odd2_ref[0:ln2] = t2_ref[0:ln2]
-        even2_ref[0:me2] = t2_ref[ln2:nt2]
-
-        def step(j, packed):
-            carry = tuple(packed[r] for r in range(4))
-            for u in range(unroll):
-                x0 = x_ref[j * unroll + u]
-                x1, x2, y1, y2 = carry
-                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
-                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-                carry = (x0, x1, y0, y1)
-                k = j * (unroll // 2) + u // 2
-                if u % 2 == 0:
-                    even1_ref[me1 + k] = y0.astype(jnp.float32)
-                else:
-                    odd1_ref[ln1 + k] = y0.astype(jnp.float32)
-            return jnp.stack(carry)
-
-        st = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
-        )
-        state_ref[...] = st
-
-        # stage 1, vectorized over the chunk
-        y2v = fir_even(odd1_ref, even1_ref, ln1, n, t1)
-        # parity-split rows into the stage-2 streams: reshape + unit
-        # slice (a stride-2 row slice lowers to a gather Mosaic
-        # rejects; the reshaped form is plain row addressing)
-        y2p = y2v.reshape(n2, 2, cs2, 128)
-        even2_ref[me2:me2 + n2] = y2p[:, 0]
-        odd2_ref[ln2:ln2 + n2] = y2p[:, 1]
-        # stage 2
-        y4_ref[...] = fir_even(odd2_ref, even2_ref, ln2, n2, t2)
-
-        t1_ref[0:ln1] = odd1_ref[n:n + ln1]
-        t1_ref[ln1:nt1] = even1_ref[n:n + me1]
-        t2_ref[0:ln2] = odd2_ref[n2:n2 + ln2]
-        t2_ref[ln2:nt2] = even2_ref[n2:n2 + me2]
-
-        @pl.when(tq == n_t - 1)
-        def _():
-            out_state_ref[...] = st
-            out_t1_ref[...] = t1_ref[...]
-            out_t2_ref[...] = t2_ref[...]
-
-    st_in = jnp.stack(
-        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
-        axis=0,
-    ).reshape(4, cs2, 128)
-
-    def fixed(r):
-        return pl.BlockSpec(
-            (r, cs2, 128), lambda i: (i * 0, i * 0, i * 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    y4, st_out, t1_out, t2_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            fixed(4), fixed(nt1), fixed(nt2),
-            pl.BlockSpec(
-                (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (n2, cs2, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            fixed(4), fixed(nt1), fixed(nt2),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t // 4, cs2, 128), jnp.float32),
-            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
-            jax.ShapeDtypeStruct((nt1, cs2, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nt2, cs2, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((4, cs2, 128), jnp.int32),
-            pltpu.VMEM((nt1, cs2, 128), jnp.float32),
-            pltpu.VMEM((nt2, cs2, 128), jnp.float32),
-            pltpu.VMEM((n + ln1, cs2, 128), jnp.float32),
-            pltpu.VMEM((n + me1, cs2, 128), jnp.float32),
-            pltpu.VMEM((n2 + ln2, cs2, 128), jnp.float32),
-            pltpu.VMEM((n2 + me2, cs2, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(st_in, tail1.reshape(nt1, cs2, 128), tail2.reshape(nt2, cs2, 128),
-      xs.reshape(t, cs2, 128))
-
-    new_state = Df1State(
-        x=jnp.stack(
-            [st_out.reshape(4, c2)[0], st_out.reshape(4, c2)[1]], axis=-1
-        ),
-        y=jnp.stack(
-            [st_out.reshape(4, c2)[2], st_out.reshape(4, c2)[3]], axis=-1
-        ),
-    )
-    return (new_state, t1_out.reshape(nt1, c2), t2_out.reshape(nt2, c2),
-            y4.reshape(t // 4, c2))
-
-
-# --- fused DF1 + N-stage HBF decimation cascade ------------------------------
-
-
-def df1_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29, *,
-                         taps=None, depth: int = None,
-                         time_chunk: int = 128, unroll: int = 4,
-                         interpret: bool = False):
-    """Fused Q32 DF1 biquad bank + 2**depth half-band decimation, all
-    inside ONE Pallas kernel: the sequential biquad loop parity-splits
-    its output rows, then each cascade stage runs vectorized over the
-    chunk with its own parity split feeding the next.  The kernel
-    emits at 1/2**depth rate — with the XLA mix in front, the whole
-    headline DDC chain is a single kernel invocation.
-
-    Args:
-      tails: tuple of per-stage (3*m_d-2, c2) f32 tails
-        (`hbf1_tail_init(c2, m_d)` each).
-      taps: tuple of per-stage one-sided tap vectors, highest rate
-        first (default the leading `depth` stages of the reference
-        decimate-by-8 cascade: `HBF_TAPS[2], HBF_TAPS[1], HBF_TAPS[0]`).
-      xs: (t, c2) i32, t % 2**depth == 0.
-
-    Returns (state, tails, y) with y (t / 2**depth, c2) f32; integer
-    state and stage-1 tails bit-exact vs the unfused composition, FIR
-    outputs within the FMA bound (measured bit-exact on v5e).
-    """
-    import numpy as _np
-
+def _default_taps(taps, depth):
     if taps is None:
         from .hbf import HBF_TAPS
 
         depth = 3 if depth is None else depth
         taps = tuple(HBF_TAPS[2 - d] for d in range(depth))
-    depth = len(taps)
-    taps_static = tuple(
-        tuple(float(v) for v in _np.asarray(tv)) for tv in taps
-    )
-    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
-    assert unroll % 2 == 0
-    assert len(tails) == depth
-    return _df1_hbf_cascade_impl(
-        ba_static, taps_static, state, tuple(tails), xs, f,
-        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
-    )
+    return taps
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ba_static", "taps_static", "f", "time_chunk",
-                     "unroll", "interpret"),
-)
-def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
-                          time_chunk, unroll, interpret):
-    t, c2 = xs.shape
+def _taps_static(taps):
+    import numpy as _np
+
+    return tuple(tuple(float(v) for v in _np.asarray(tv)) for tv in taps)
+
+
+def _ba_static(ba):
+    import numpy as _np
+
+    return tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+
+
+def _iir_df1_body(ba_static, f):
+    """Plain Q32 DF1: the 5-MAC limb-emulated recurrence
+    (biquad.rs:366-383)."""
+
+    def body(carry, x0):
+        x1, x2, y1, y2 = carry
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        return (x0, x1, y0, y1), y0
+
+    return body
+
+
+def _iir_df1_clamp_body(ba_static, f, u, lo, hi):
+    """Anti-windup DF1: summing-junction offset + output clamp BEFORE
+    feedback — the clamped y0 is what enters the y-state
+    (biquad.rs:394-404)."""
+
+    def body(carry, x0):
+        x1, x2, y1, y2 = carry
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
+        return (x0, x1, y0, y1), y0
+
+    return body
+
+
+def _fir_even(odd_s, even_s, ln, nn, taps):
+    """Vectorized half-band FIR over a chunk: symmetric odd-sample taps
+    (small-to-large, same op order as hbf.symmetric_fir) + even-sample
+    center-tap bypass."""
+    acc = None
+    for i in range(len(taps)):
+        a = odd_s[i:i + nn]
+        b = odd_s[ln - i:ln - i + nn]
+        term = (b + a) * jnp.float32(taps[i])
+        acc = term if acc is None else acc + term
+    return acc + even_s[0:nn]
+
+
+def _run_fused_cascade(body, taps_static, state, tails, xs, *,
+                       time_chunk, unroll, interpret, fastlo_in=None):
+    """Composer: sequential IIR bank + fused half-band cascade.
+
+    Args:
+      body: ``(carry4, x0_i32) -> (carry4, y0_i32)`` per-sample IIR.
+      taps_static: tuple of per-stage one-sided tap tuples, highest
+        rate first.
+      state: Df1State over c2 lanes.
+      tails: tuple of per-stage (3*m_d - 2, c2) f32 carried tails.
+      xs: (t, c2) i32 input rows, or None when ``fastlo_in`` supplies
+        the mix.
+      fastlo_in: optional (x, phase0, steps, trig_dtype): the kernel
+        computes the conjugate mix in its prologue from coarse/fine
+        factored LO tables (ops/fastlo.py) — I lanes [0, c), Q lanes
+        [c, 2c).  Requires c2 == 2 * len(phase0).
+
+    Returns (new_state, tails_out, y) with y (t // 2**depth, c2) f32.
+    """
     depth = len(taps_static)
     r = 1 << depth
-    assert c2 % 128 == 0 and t % r == 0
+    if fastlo_in is not None:
+        x, phase0, steps, trig_dtype = fastlo_in
+        t = x.shape[0]
+        c = phase0.shape[0]
+        c2 = 2 * c
+        assert c % 128 == 0
+    else:
+        t, c2 = xs.shape
+        assert c2 % 128 == 0
+    assert t % r == 0 and unroll % 2 == 0
     cs2 = c2 // 128
     ms = [len(tv) for tv in taps_static]
     lns = [2 * m - 1 for m in ms]
     mes = [m - 1 for m in ms]
     nts = [ln + me for ln, me in zip(lns, mes)]
+    assert len(tails) == depth
 
     vmem_cap = max(8, (10 * 2**20) // (18 * c2))
     while time_chunk > vmem_cap:
         time_chunk //= 2
-    while t % time_chunk or time_chunk % r:
+    while t % time_chunk or time_chunk % r or time_chunk % unroll:
         time_chunk //= 2
-    assert time_chunk >= r and time_chunk >= 8
+    assert time_chunk >= r and time_chunk >= 8 and time_chunk % unroll == 0
     tc = time_chunk
     ns = [tc >> (d + 1) for d in range(depth)]  # stage output rows
     grid = (t // tc,)
 
-    def fir_even(odd_s, even_s, ln, nn, taps):
-        acc = None
-        for i in range(len(taps)):
-            a = odd_s[i:i + nn]
-            b = odd_s[ln - i:ln - i + nn]
-            term = (b + a) * jnp.float32(taps[i])
-            acc = term if acc is None else acc + term
-        return acc + even_s[0:nn]
+    n_mix = 5 if fastlo_in is not None else 1
 
     def kernel(*refs):
-        (st_in_ref, *tin_refs) = refs[:1 + depth]
-        x_ref = refs[1 + depth]
-        y_ref = refs[2 + depth]
-        out_state_ref = refs[3 + depth]
-        tout_refs = refs[4 + depth:4 + 2 * depth]
-        state_ref = refs[4 + 2 * depth]
-        t_refs = refs[5 + 2 * depth:5 + 3 * depth]
-        oe_refs = refs[5 + 3 * depth:]  # odd0, even0, odd1, even1, ...
+        st_in_ref = refs[0]
+        tin_refs = refs[1:1 + depth]
+        mix_refs = refs[1 + depth:1 + depth + n_mix]
+        y_ref = refs[1 + depth + n_mix]
+        out_state_ref = refs[2 + depth + n_mix]
+        tout_refs = refs[3 + depth + n_mix:3 + 2 * depth + n_mix]
+        scr = refs[3 + 2 * depth + n_mix:]
+        state_ref = scr[0]
+        t_refs = scr[1:1 + depth]
+        oe_refs = scr[1 + depth:1 + 3 * depth]  # odd0, even0, odd1, ...
+        src_ref = scr[1 + 3 * depth] if fastlo_in is not None else mix_refs[0]
 
         tq = pl.program_id(0)
         n_t = pl.num_programs(0)
@@ -693,6 +367,20 @@ def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
             for tr, tin in zip(t_refs, tin_refs):
                 tr[...] = tin[...]
 
+        if fastlo_in is not None:
+            # --- in-kernel fast-LO conjugate mix: one complex multiply
+            # per sample against the per-chunk coarse row.
+            caf_ref, saf_ref, cbf_ref, sbf_ref, xw_ref = mix_refs
+            cs = cs2 // 2
+            ca, sa = caf_ref[0], saf_ref[0]  # (cs, 128)
+            cb, sb = cbf_ref[...], sbf_ref[...]  # (tc, cs, 128)
+            lo_re = ca[None] * cb - sa[None] * sb
+            lo_im = sa[None] * cb + ca[None] * sb
+            xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
+            mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
+            mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
+            src_ref[...] = jnp.concatenate([mi, mq], axis=1)
+
         for d in range(depth):
             oe_refs[2 * d][0:lns[d]] = t_refs[d][0:lns[d]]
             oe_refs[2 * d + 1][0:mes[d]] = t_refs[d][lns[d]:nts[d]]
@@ -700,12 +388,9 @@ def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
         def step(j, packed):
             carry = tuple(packed[rr] for rr in range(4))
             for u in range(unroll):
-                x0 = x_ref[j * unroll + u]
-                x1, x2, y1, y2 = carry
-                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
-                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-                carry = (x0, x1, y0, y1)
+                carry, y0 = body(carry, src_ref[j * unroll + u])
                 k = j * (unroll // 2) + u // 2
+                # even unroll => sample parity is static per slot
                 if u % 2 == 0:
                     oe_refs[1][mes[0] + k] = y0.astype(jnp.float32)
                 else:
@@ -718,8 +403,8 @@ def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
         state_ref[...] = st
 
         for d in range(depth):
-            yv = fir_even(oe_refs[2 * d], oe_refs[2 * d + 1], lns[d],
-                          ns[d], taps_static[d])
+            yv = _fir_even(oe_refs[2 * d], oe_refs[2 * d + 1], lns[d],
+                           ns[d], taps_static[d])
             if d + 1 < depth:
                 # parity split rows into the next stage (reshape +
                 # unit slice; stride-2 row slices are gathers Mosaic
@@ -749,22 +434,46 @@ def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
         axis=0,
     ).reshape(4, cs2, 128)
 
-    def fixed(rr):
+    def fixed(rr, ncs=cs2):
         return pl.BlockSpec(
-            (rr, cs2, 128), lambda i: (i * 0, i * 0, i * 0),
+            (rr, ncs, 128), lambda i: (i * 0, i * 0, i * 0),
             memory_space=pltpu.VMEM,
         )
+
+    if fastlo_in is not None:
+        cs = cs2 // 2
+        ca, sa, cb, sb = _fastlo.fastlo_tables(
+            phase0, steps, t, tc, trig_dtype=trig_dtype
+        )
+        xw = (x.astype(jnp.float32)
+              * jnp.float32(_fastlo.AMPLITUDE))[:, None, None]
+        xw = jnp.broadcast_to(xw, (t, 1, 128))
+        mix_in = [
+            ca.reshape(t // tc, cs, 128), sa.reshape(t // tc, cs, 128),
+            cb.reshape(tc, cs, 128), sb.reshape(tc, cs, 128), xw,
+        ]
+        mix_specs = [
+            pl.BlockSpec((1, cs, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cs, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            fixed(tc, cs), fixed(tc, cs),
+            pl.BlockSpec((tc, 1, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        mix_scratch = [pltpu.VMEM((tc, cs2, 128), jnp.int32)]
+    else:
+        mix_in = [xs.reshape(t, cs2, 128)]
+        mix_specs = [pl.BlockSpec(
+            (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )]
+        mix_scratch = []
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=(
-            [fixed(4)] + [fixed(nt) for nt in nts]
-            + [pl.BlockSpec(
-                (tc, cs2, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            )]
-        ),
+        in_specs=[fixed(4)] + [fixed(nt) for nt in nts] + mix_specs,
         out_specs=(
             [pl.BlockSpec(
                 (ns[-1], cs2, 128), lambda i: (i, i * 0, i * 0),
@@ -789,16 +498,200 @@ def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
                 ),
                 [],
             )
+            + mix_scratch
         ),
         interpret=interpret,
     )(st_in, *[tl.reshape(nt, cs2, 128) for tl, nt in zip(tails, nts)],
-      xs.reshape(t, cs2, 128))
+      *mix_in)
 
     y = outs[0]
     st_out = outs[1].reshape(4, c2)
-    t_outs = [o.reshape(nt, c2) for o, nt in zip(outs[2:], nts)]
+    t_outs = tuple(o.reshape(nt, c2) for o, nt in zip(outs[2:], nts))
     new_state = Df1State(
         x=jnp.stack([st_out[0], st_out[1]], axis=-1),
         y=jnp.stack([st_out[2], st_out[3]], axis=-1),
     )
-    return new_state, tuple(t_outs), y.reshape(t // r, c2)
+    return new_state, t_outs, y.reshape(t // r, c2)
+
+
+# --- public instantiations ----------------------------------------------------
+
+
+def df1_hbf1_bank(ba, state: Df1State, tail, xs, f: int = 29, *,
+                  taps=None, time_chunk: int = 512, unroll: int = 2,
+                  interpret: bool = False):
+    """Fused Q32 DF1 biquad bank + half-band decimate-by-2 (stage 1).
+
+    Depth-1 instantiation of the fused cascade.  ``tail`` is a single
+    (3m-2, c2) f32 carried tail (`hbf1_tail_init`); default taps are
+    `hbf.HBF_TAPS[2]` (the 5-tap stage leading the decimate-by-8
+    cascade).  Returns (new_state, new_tail, y2) with y2 (t/2, c2) f32
+    — equal to ``df1_bank_q(out_dtype=f32)`` + one
+    ``hbf.hbf_dec_block(axis=0)`` within the documented <= 2 ULP FMA
+    bound (integer state and tails bit-exact).
+    """
+    if taps is None:
+        from .hbf import HBF_TAPS
+
+        taps = HBF_TAPS[2]
+    state, tails, y2 = _df1_hbf_cascade_impl(
+        _ba_static(ba), _taps_static((taps,)), state, (tail,), xs, f,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+    return state, tails[0], y2
+
+
+def df1_hbf12_bank(ba, state: Df1State, tail1, tail2, xs, f: int = 29, *,
+                   taps1=None, taps2=None, time_chunk: int = 512,
+                   unroll: int = 4, interpret: bool = False):
+    """Fused Q32 DF1 biquad bank + half-band decimate-by-4 (stages 1+2).
+
+    Depth-2 instantiation of the fused cascade; quarter-rate output.
+    Default taps `HBF_TAPS[2]` / `HBF_TAPS[1]` — the first two stages
+    of the decimate-by-8 cascade.  Returns (state, tail1, tail2, y4).
+    """
+    if taps1 is None or taps2 is None:
+        from .hbf import HBF_TAPS
+
+        taps1 = HBF_TAPS[2] if taps1 is None else taps1
+        taps2 = HBF_TAPS[1] if taps2 is None else taps2
+    state, tails, y4 = _df1_hbf_cascade_impl(
+        _ba_static(ba), _taps_static((taps1, taps2)), state,
+        (tail1, tail2), xs, f,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+    return state, tails[0], tails[1], y4
+
+
+def df1_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29, *,
+                         taps=None, depth: int = None,
+                         time_chunk: int = 128, unroll: int = 4,
+                         interpret: bool = False):
+    """Fused Q32 DF1 biquad bank + 2**depth half-band decimation, all
+    inside ONE Pallas kernel: the sequential biquad loop parity-splits
+    its output rows, then each cascade stage runs vectorized over the
+    chunk with its own parity split feeding the next.  The kernel
+    emits at 1/2**depth rate — with the XLA mix in front, the whole
+    headline DDC chain is a single kernel invocation.
+
+    Args:
+      tails: tuple of per-stage (3*m_d-2, c2) f32 tails
+        (`hbf1_tail_init(c2, m_d)` each).
+      taps: tuple of per-stage one-sided tap vectors, highest rate
+        first (default the leading `depth` stages of the reference
+        decimate-by-8 cascade: `HBF_TAPS[2], HBF_TAPS[1], HBF_TAPS[0]`).
+      xs: (t, c2) i32, t % 2**depth == 0.
+
+    Returns (state, tails, y) with y (t / 2**depth, c2) f32; integer
+    state and stage-1 tails bit-exact vs the unfused composition, FIR
+    outputs within the FMA bound (measured bit-exact on v5e).
+    """
+    taps = _default_taps(taps, depth)
+    return _df1_hbf_cascade_impl(
+        _ba_static(ba), _taps_static(taps), state, tuple(tails), xs, f,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "taps_static", "f", "time_chunk",
+                     "unroll", "interpret"),
+)
+def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
+                          time_chunk, unroll, interpret):
+    return _run_fused_cascade(
+        _iir_df1_body(ba_static, f), taps_static, state, tails, xs,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+
+
+def df1_clamp_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29,
+                               *, u: int = 0, lo: int, hi: int, taps=None,
+                               depth: int = None, time_chunk: int = 128,
+                               unroll: int = 4, interpret: bool = False):
+    """Fused anti-windup (clamp) DF1 bank + half-band cascade.
+
+    The clamp variant is the production configuration in the reference
+    (offset + output clamp applied BEFORE feedback,
+    biquad.rs:399-404); this kernel lets the clamped flagship chain run
+    fully fused instead of falling back to the split composition.
+    Bit-exact (integer path) vs ``df1_clamp_bank_q`` + the XLA HBF
+    stages, within the FMA bound on the f32 FIR outputs.
+    """
+    taps = _default_taps(taps, depth)
+    return _df1_clamp_hbf_cascade_impl(
+        _ba_static(ba), _taps_static(taps), state, tuple(tails), xs, f,
+        int(u), int(lo), int(hi),
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "taps_static", "f", "u", "lo", "hi",
+                     "time_chunk", "unroll", "interpret"),
+)
+def _df1_clamp_hbf_cascade_impl(ba_static, taps_static, state, tails, xs,
+                                f, u, lo, hi, *, time_chunk, unroll,
+                                interpret):
+    return _run_fused_cascade(
+        _iir_df1_clamp_body(ba_static, f, u, lo, hi), taps_static, state,
+        tails, xs,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+    )
+
+
+def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,
+                            f: int = 29, *, clamp=None, taps=None,
+                            depth: int = None, time_chunk: int = 128,
+                            unroll: int = 4, trig_dtype=jnp.float64,
+                            interpret: bool = False):
+    """The ENTIRE headline DDC chain in one kernel: in-kernel fast-LO
+    conjugate mix (coarse/fine factored tables, ops/fastlo.py) + DF1
+    biquad bank + half-band decimation cascade.
+
+    The mixed full-rate stream never touches HBM: the kernel reads only
+    the real input x (t,), the tiny factor tables, and emits at
+    1/2**depth rate.  The mix is the documented SNR-gated fast path
+    (tests/test_fastlo.py); the IIR and FIR stages are the same
+    bit-exact machinery as `df1_hbf_cascade_bank`.
+
+    Args:
+      phase0: (c,) i32 NCO phase before the first sample.
+      steps: (c,) i32 per-channel frequency words.
+      x: (t,) i32 wideband input; lanes are I|Q concat (c2 = 2c).
+      clamp: optional (u, lo, hi) anti-windup parameters.
+
+    Returns (new_state, tails, new_phase0, y) with y (t/2**depth, 2c).
+    """
+    taps = _default_taps(taps, depth)
+    clamp_static = None if clamp is None else tuple(int(v) for v in clamp)
+    new_state, t_outs, y = _fastlo_ddc_cascade_impl(
+        _ba_static(ba), _taps_static(taps), state, tuple(tails),
+        phase0, steps, x, f, clamp_static,
+        time_chunk=time_chunk, unroll=unroll,
+        trig_dtype=jnp.dtype(trig_dtype), interpret=interpret,
+    )
+    new_phase0 = phase0 + steps * jnp.int32(x.shape[0])
+    return new_state, t_outs, new_phase0, y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "taps_static", "f", "clamp_static",
+                     "time_chunk", "unroll", "trig_dtype", "interpret"),
+)
+def _fastlo_ddc_cascade_impl(ba_static, taps_static, state, tails, phase0,
+                             steps, x, f, clamp_static, *, time_chunk,
+                             unroll, trig_dtype, interpret):
+    body = (
+        _iir_df1_body(ba_static, f)
+        if clamp_static is None
+        else _iir_df1_clamp_body(ba_static, f, *clamp_static)
+    )
+    return _run_fused_cascade(
+        body, taps_static, state, tails, None,
+        time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+        fastlo_in=(x, phase0, steps, trig_dtype),
+    )

@@ -877,3 +877,179 @@ def test_pallas_fused_df1_hbf_cascade(depth):
             np.abs(np.asarray(y8) - np.asarray(y8_ref)).max()
             <= 16 * np.spacing(scale)
         )
+
+
+@pytest.mark.parametrize("depth", [1, 3])
+def test_pallas_fused_clamp_hbf_cascade(depth):
+    # Anti-windup DF1 fused with the cascade (biquad.rs:399-404 clamp
+    # BEFORE feedback) vs df1_clamp_bank_q + XLA HBF stages.
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.biquad_pallas import df1_clamp_bank_q
+    from idsp_tpu.filters.ddc_pallas import (
+        df1_clamp_hbf_cascade_bank, hbf1_tail_init,
+    )
+
+    c2, t = 128, 512
+    taps = tuple(hbf.HBF_TAPS[2 - d] for d in range(depth))
+    rng = np.random.default_rng(36)
+    ba_q = _ba_q(0.02)
+    u, lo, hi = 1 << 10, -(1 << 26), 1 << 26  # clamp engages on peaks
+
+    st_ref = biquad.df1_init((c2,), jnp.int32)
+    dec_ref = tuple(
+        hbf.hbf_dec_init(len(tv), (c2,), axis=0) for tv in taps
+    )
+    st_f = biquad.df1_init((c2,), jnp.int32)
+    tails = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
+
+    for _ in range(3):
+        xs = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t, c2),
+                         dtype=np.int64).astype(np.int32)
+        )
+        st_ref, ys = df1_clamp_bank_q(
+            ba_q, st_ref, xs, 29, u=u, lo=lo, hi=hi, time_chunk=128,
+            interpret=True,
+        )
+        yd = ys.astype(jnp.float32)
+        new_dec = []
+        for tv, dr in zip(taps, dec_ref):
+            dr, yd = hbf.hbf_dec_block(tv, dr, yd, axis=0)
+            new_dec.append(dr)
+        dec_ref = tuple(new_dec)
+
+        st_f, tails, y8 = df1_clamp_hbf_cascade_bank(
+            ba_q, st_f, tails, xs, 29, u=u, lo=lo, hi=hi, taps=taps,
+            time_chunk=128, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(st_f.y),
+                                      np.asarray(st_ref.y))
+        np.testing.assert_array_equal(np.asarray(st_f.x),
+                                      np.asarray(st_ref.x))
+        scale = np.float32(np.abs(np.asarray(ys)).max())
+        assert (
+            np.abs(np.asarray(y8) - np.asarray(yd)).max()
+            <= 16 * np.spacing(scale)
+        )
+
+
+def test_pallas_fastlo_cascade_matches_xla_fastlo():
+    # In-kernel fast-LO mix vs the XLA fastlo_mix + fused cascade.
+    # The two are NOT bit-identical: the f32 complex multiply has an
+    # ~8-LSB ulp at 2^27 mix scale and XLA contracts a*b - c*d into FMA
+    # differently across the two graphs, so the integer mixes differ by
+    # a few LSB.  Gate at mix-rounding tolerance (the fast path's
+    # absolute quality vs the ideal mix is gated in tests/test_fastlo.py).
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.ddc_pallas import (
+        df1_hbf_cascade_bank, fastlo_ddc_cascade_bank, hbf1_tail_init,
+    )
+    from idsp_tpu.ops.fastlo import fastlo_mix
+
+    c, t, tc = 128, 512, 128
+    c2 = 2 * c
+    taps = tuple(hbf.HBF_TAPS[2 - d] for d in range(3))
+    rng = np.random.default_rng(37)
+    ba_q = _ba_q(0.02)
+
+    st_a = biquad.df1_init((c2,), jnp.int32)
+    tails_a = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
+    st_b = biquad.df1_init((c2,), jnp.int32)
+    tails_b = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
+
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    ph_a = phase0
+    for _ in range(2):
+        x = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+            .astype(np.int32)
+        )
+        miq = fastlo_mix(x, ph_a, steps, tc)
+        st_a, tails_a, y_a = df1_hbf_cascade_bank(
+            ba_q, st_a, tails_a, miq, 29, taps=taps, time_chunk=tc,
+            interpret=True,
+        )
+        ph_a = ph_a + steps * jnp.int32(t)
+
+        st_b, tails_b, ph_b, y_b = fastlo_ddc_cascade_bank(
+            ba_q, st_b, tails_b, phase0, steps, x, 29, taps=taps,
+            time_chunk=tc, interpret=True,
+        )
+        phase0 = ph_b
+
+        np.testing.assert_array_equal(np.asarray(ph_a), np.asarray(ph_b))
+        # x-state = the last two raw mix samples: bounded by the f32
+        # mix ulp (8 LSB at 2^27) times one FMA-contraction ulp.
+        dx = (np.asarray(st_a.x, np.int64) - np.asarray(st_b.x, np.int64))
+        assert np.abs(dx).max() <= 32, np.abs(dx).max()
+        # filtered outputs: LSB-scale mix differences pass through the
+        # unity-DC-gain chain; gate rms at -100 dB of signal rms.
+        ya = np.asarray(y_a, np.float64)
+        yb = np.asarray(y_b, np.float64)
+        rms_sig = np.sqrt((ya**2).mean()) + 1.0
+        rms_d = np.sqrt(((ya - yb) ** 2).mean())
+        assert rms_d < 1e-5 * rms_sig, (rms_d, rms_sig)
+
+
+def test_pallas_fastlo_cascade_clamp_variant():
+    # clamp=(u, lo, hi) flows through the fused fast-LO chain.
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.biquad_pallas import df1_clamp_bank_q
+    from idsp_tpu.filters.ddc_pallas import (
+        fastlo_ddc_cascade_bank, hbf1_tail_init,
+    )
+    from idsp_tpu.ops.fastlo import fastlo_mix
+
+    c, t, tc = 128, 512, 128
+    c2 = 2 * c
+    taps = (hbf.HBF_TAPS[2],)
+    rng = np.random.default_rng(38)
+    ba_q = _ba_q(0.02)
+    u, lo, hi = 0, -(1 << 25), 1 << 25
+
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+        .astype(np.int32)
+    )
+
+    miq = fastlo_mix(x, phase0, steps, tc)
+    st_ref = biquad.df1_init((c2,), jnp.int32)
+    st_ref, ys = df1_clamp_bank_q(
+        ba_q, st_ref, miq, 29, u=u, lo=lo, hi=hi, time_chunk=tc,
+        interpret=True,
+    )
+    yd = ys.astype(jnp.float32)
+    dec = hbf.hbf_dec_init(len(taps[0]), (c2,), axis=0)
+    dec, yd = hbf.hbf_dec_block(taps[0], dec, yd, axis=0)
+
+    st_f = biquad.df1_init((c2,), jnp.int32)
+    tails = (hbf1_tail_init(c2, len(taps[0])),)
+    st_f, tails, _ph, y = fastlo_ddc_cascade_bank(
+        ba_q, st_f, tails, phase0, steps, x, 29, clamp=(u, lo, hi),
+        taps=taps, time_chunk=tc, interpret=True,
+    )
+    # Same FMA-contraction caveat as the plain fast-LO test: the two
+    # fast mixes differ by LSBs, and the clamp is 1-Lipschitz so the
+    # difference stays LSB-scale through the recurrence.
+    dx = np.asarray(st_f.x, np.int64) - np.asarray(st_ref.x, np.int64)
+    assert np.abs(dx).max() <= 32, np.abs(dx).max()
+    ya = np.asarray(yd, np.float64)
+    yb = np.asarray(y, np.float64)
+    rms_sig = np.sqrt((ya**2).mean()) + 1.0
+    rms_d = np.sqrt(((ya - yb) ** 2).mean())
+    assert rms_d < 1e-5 * rms_sig, (rms_d, rms_sig)
