@@ -10,7 +10,7 @@ ci: lint test dryrun bench-smoke
 
 lint:
 	$(PY) -m compileall -q idsp_tpu benches scripts tests bench.py __graft_entry__.py
-	@! grep -rn "breakpoint()\|pdb.set_trace" idsp_tpu/ tests/ benches/ || (echo "debug hooks left in tree" && exit 1)
+	$(PY) scripts/lint.py
 
 test:
 	$(PY) -m pytest tests/ -q

@@ -91,7 +91,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
     from jax import shard_map
-    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import Mesh
     from jax.sharding import PartitionSpec as P
 
     from idsp_tpu import fxp

@@ -103,6 +103,14 @@ def restore(path: str, like: Any) -> Any:
                     f"leaf {i}: stored shape {tuple(m['shape'])} != "
                     f"template shape {tuple(np.shape(l))}"
                 )
+            want = str(np.asarray(l).dtype)
+            if m["dtype"] != want:
+                # A silent cast (e.g. stored int64 wrapping into an
+                # int32 template) would corrupt state undetectably.
+                raise CheckpointStructureError(
+                    f"leaf {i}: stored dtype {m['dtype']} != template "
+                    f"dtype {want}"
+                )
     # (legacy payloads stored only a str(treedef); fall through without
     # metadata validation)
     new_leaves = [

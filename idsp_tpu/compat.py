@@ -20,7 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import fxp
 from .filters import biquad
 from .ops import trig
 

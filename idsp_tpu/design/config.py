@@ -20,7 +20,7 @@ import numpy as np
 
 from .coefficients import Filter, FilterType, Shape
 from .errors import DesignError
-from .pid import Action, ClampedCoeffs, Order, Pid, Units
+from .pid import ClampedCoeffs, Order, Pid, Units
 from ..filters import biquad
 
 

@@ -290,12 +290,19 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
     c = cs * 128
     rows = st_in.shape[0]
     out_dtype = out_dtype or xs3.dtype
+    # The sequential kernel's fori bound is tc // unroll: a chunk that
+    # is not a multiple of unroll would silently leave trailing output
+    # rows uninitialized (garbage via the donated input alias) and
+    # corrupt the carried state — keep divisibility while clamping.
+    unroll = getattr(kernel, "_unroll", 1)
     vmem_cap = max(8, (12 * 2**20) // (16 * c))
-    while time_chunk > vmem_cap:
+    while time_chunk > vmem_cap or t % time_chunk or time_chunk % unroll:
         time_chunk //= 2
-    while t % time_chunk:
-        time_chunk //= 2
-    assert time_chunk >= 8, "cannot find a VMEM-fitting time chunk"
+        assert time_chunk >= 8, (
+            "cannot find a VMEM-fitting time chunk divisible by "
+            f"unroll={unroll} for t={t}"
+        )
+    assert time_chunk >= 8 and time_chunk % unroll == 0
     grid = (t // time_chunk,)
 
     def fixed(r):
@@ -382,6 +389,7 @@ def _seq_bank_kernel(body, unroll: int = 2, prep=None):
         def _():
             out_state_ref[...] = st
 
+    kernel._unroll = unroll  # read by _bank_call's time-chunk clamp
     return kernel
 
 

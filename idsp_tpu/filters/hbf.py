@@ -24,7 +24,7 @@ antisymmetric, with the shared small-to-large-tap summation order of
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

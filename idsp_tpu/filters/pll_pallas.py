@@ -20,7 +20,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl  # noqa: F401  (re-export habit)
 
 from ..ops.unwrap import ClampWrapState
 from .biquad_pallas import (

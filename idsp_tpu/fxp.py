@@ -25,12 +25,72 @@ _INT_INFO = {
     jnp.dtype("int8"): (jnp.int8, jnp.int16),
     jnp.dtype("int16"): (jnp.int16, jnp.int32),
     jnp.dtype("int32"): (jnp.int32, jnp.int64),
+    # int64 (the reference Q64 aliases, lib.rs:473-492) has no native
+    # accumulator dtype in XLA; q_mul/mul_wide/quantize emulate the
+    # 128-bit product in 32-bit limbs (see _mul_i64_wide).
+    jnp.dtype("int64"): (jnp.int64, None),
 }
 
 
 def widen_dtype(dtype) -> jnp.dtype:
-    """The accumulator dtype for a base integer dtype (i32 -> i64)."""
-    return jnp.dtype(_INT_INFO[jnp.dtype(dtype)][1])
+    """The accumulator dtype for a base integer dtype (i32 -> i64).
+
+    Raises ValueError for int64: its accumulator is emulated in limbs
+    (pairs of (hi i64, lo u64)), not a dtype — use `mul_wide`, which
+    returns such a pair for int64, or `q_mul`, which handles it
+    internally.
+    """
+    base, acc = _INT_INFO[jnp.dtype(dtype)]
+    if acc is None:
+        raise ValueError(
+            "int64 has no native accumulator dtype; its 128-bit products"
+            " are emulated in limbs (mul_wide returns a (hi, lo) pair)"
+        )
+    return jnp.dtype(acc)
+
+
+def _mul_i64_wide(a, b):
+    """Full signed 128-bit product of two i64 arrays as (hi i64, lo u64).
+
+    32-bit limb decomposition of the unsigned product plus the two's-
+    complement correction ``hi -= (a<0 ? b : 0) + (b<0 ? a : 0)`` — the
+    XLA-graph analog of the in-kernel limb MACs (biquad_pallas Q64) and
+    native/golden.c's __int128 model.
+    """
+    a = jnp.asarray(a, jnp.int64)
+    b = jnp.asarray(b, jnp.int64)
+    au = a.astype(jnp.uint64)
+    bu = b.astype(jnp.uint64)
+    m32 = jnp.uint64(0xFFFFFFFF)
+    a0, a1 = au & m32, au >> 32
+    b0, b1 = bu & m32, bu >> 32
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> 32) + (p01 & m32) + (p10 & m32)
+    lo = (p00 & m32) | (mid << 32)
+    hi = p11 + (p01 >> 32) + (p10 >> 32) + (mid >> 32)
+    hi = hi - jnp.where(a < 0, bu, jnp.uint64(0))
+    hi = hi - jnp.where(b < 0, au, jnp.uint64(0))
+    return hi.astype(jnp.int64), lo
+
+
+def _shr_i128_to_i64(hi, lo, f: int):
+    """Truncating arithmetic right shift of a (hi, lo) 128-bit value by
+    ``f`` (may be negative = left shift), low 64 bits of the result."""
+    if f == 0:
+        return lo.astype(jnp.int64)
+    if f < 0:
+        s = -f
+        return (lo << s).astype(jnp.int64) if s < 64 else jnp.zeros_like(
+            lo, jnp.int64
+        )
+    if f < 64:
+        return (
+            (lo >> f) | (hi.astype(jnp.uint64) << (64 - f))
+        ).astype(jnp.int64)
+    return hi >> min(f - 64, 63)
 
 
 def shs(x, f: int):
@@ -51,6 +111,9 @@ def q_mul(a, b, f: int, *, dtype=jnp.int32):
     truncating arithmetic right shift by ``f`` and wraps back to ``dtype``
     (ops.rs:145-153: result keeps the LHS scale, shift is by the RHS F).
     """
+    if jnp.dtype(dtype) == jnp.dtype("int64"):
+        hi, lo = _mul_i64_wide(a, b)
+        return _shr_i128_to_i64(hi, lo, f)
     acc = widen_dtype(dtype)
     wide = a.astype(acc) * b.astype(acc)
     return shs(wide, -f).astype(dtype)
@@ -79,6 +142,14 @@ def q_div(a, b, f_rhs: int, *, dtype=jnp.int32):
     a = jnp.asarray(a, dtype)
     b = jnp.asarray(b, dtype)
     if f_rhs > 0:
+        if jnp.dtype(dtype) == jnp.dtype("int64"):
+            # Documented rejection: a 128/64 long division has no XLA
+            # primitive and the limb emulation is not worth it for a
+            # cold builder path — rescale to f_rhs <= 0 or use int32.
+            raise NotImplementedError(
+                "q_div with dtype=int64 and f_rhs > 0 needs a 128-bit "
+                "numerator; rescale the operands or use f_rhs <= 0"
+            )
         acc = widen_dtype(dtype)
         return jax.lax.div(
             shs(a.astype(acc), f_rhs), b.astype(acc)
@@ -95,14 +166,21 @@ def q_sum(x, axis=None):
 
 def mul_wide(a, b, *, dtype=jnp.int32):
     """Widening multiply without the quantizing shift (``Q::mul_wide``,
-    lib.rs:302-313). Returns the accumulator-dtype product."""
+    lib.rs:302-313). Returns the accumulator-dtype product — for int64
+    a limb-emulated ``(hi i64, lo u64)`` pair (feed it to `quantize`)."""
+    if jnp.dtype(dtype) == jnp.dtype("int64"):
+        return _mul_i64_wide(a, b)
     acc = widen_dtype(dtype)
     return a.astype(acc) * b.astype(acc)
 
 
 def quantize(acc, f: int, *, dtype=jnp.int32):
     """Accumulator -> base: truncating shift by ``f`` then wrap-cast down
-    (``Q::quantize`` = ``trunc`` + ``down``, lib.rs:286-300)."""
+    (``Q::quantize`` = ``trunc`` + ``down``, lib.rs:286-300).  For
+    int64, ``acc`` is the (hi, lo) pair from `mul_wide`."""
+    if jnp.dtype(dtype) == jnp.dtype("int64"):
+        hi, lo = acc
+        return _shr_i128_to_i64(hi, lo, f)
     return shs(acc, -f).astype(dtype)
 
 

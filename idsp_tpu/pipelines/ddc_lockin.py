@@ -12,7 +12,6 @@ Acceptance gates (ddc_lockin.rs:104-110): recovered DC IQ mean within
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..design import Filter

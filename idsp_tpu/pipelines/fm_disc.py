@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import fxp
 from ..design import Filter
 from ..filters import biquad
 from ..ops import complex as cplx

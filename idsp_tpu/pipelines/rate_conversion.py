@@ -14,8 +14,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..filters import cic, hbf

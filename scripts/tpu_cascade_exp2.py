@@ -14,7 +14,6 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
-    import functools
 
     import jax
     import jax.numpy as jnp

@@ -6,7 +6,6 @@ Times with iteration differencing (same methodology as bench.py).
 
 import sys
 import time
-import traceback
 
 import numpy as np
 

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from idsp_tpu.filters import biquad
-from idsp_tpu.design import Filter, FilterType, PidBuilder, Action, freqz_ba5
+from idsp_tpu.design import Filter, PidBuilder, Action, freqz_ba5
 
 
 def _run_df1_q(ba_q, f, xs):

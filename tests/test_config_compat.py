@@ -17,7 +17,6 @@ from idsp_tpu.design.config import (
 )
 from idsp_tpu.design.errors import DesignError
 from idsp_tpu.filters import biquad
-from idsp_tpu.ops import trig
 
 
 def test_compat_cossin_atan2_roundtrip():

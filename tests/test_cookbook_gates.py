@@ -6,7 +6,6 @@ after Q32<30> quantize-and-back.
 """
 
 import numpy as np
-import pytest
 
 from idsp_tpu.design import Filter, freqz
 from idsp_tpu.filters import biquad

@@ -104,3 +104,43 @@ def test_pll_matches_golden(xs, seed):
     _, _, yg = golden.pll(pba, np.zeros(5, np.int32), np.zeros(2, np.int64),
                           xs)
     np.testing.assert_array_equal(np.asarray(yj), yg)
+
+
+@given(
+    st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=32),
+    st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=32),
+    st.sampled_from([0, 1, 13, 29, 61, 63, 64, 80, 127, -3]),
+)
+@settings(max_examples=60, deadline=None)
+def test_q_mul_i64_matches_bigint(a, b, f):
+    # int64 q_mul uses the limb-emulated 128-bit product; Python's
+    # arbitrary-precision ints are the oracle (>> floors == arithmetic
+    # shift; low 64 bits reinterpreted signed).
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    av = jnp.asarray(np.array(a, dtype=np.int64))
+    bv = jnp.asarray(np.array(b, dtype=np.int64))
+    have = np.asarray(fxp.q_mul(av, bv, f, dtype=jnp.int64))
+    for i in range(n):
+        p = a[i] * b[i]
+        sh = (p >> f) if f >= 0 else (p << -f)
+        want = ((sh & ((1 << 64) - 1)) ^ (1 << 63)) - (1 << 63)
+        assert int(have[i]) == want, (a[i], b[i], f, int(have[i]), want)
+
+
+def test_widen_dtype_int64_documented_rejection():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fxp.widen_dtype(jnp.int64)
+    with _pytest.raises(NotImplementedError):
+        fxp.q_div(
+            jnp.asarray([1], jnp.int64), jnp.asarray([2], jnp.int64), 3,
+            dtype=jnp.int64,
+        )
+    # f_rhs <= 0 stays in the base width and works.
+    out = fxp.q_div(
+        jnp.asarray([-7 << 10], jnp.int64), jnp.asarray([3], jnp.int64),
+        0, dtype=jnp.int64,
+    )
+    assert int(out[0]) == -((7 << 10) // 3) - (1 if (7 << 10) % 3 else 0) + 1

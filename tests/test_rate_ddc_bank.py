@@ -1,11 +1,10 @@
 """Rate-conversion cascade (BASELINE #4) and DDC bank (BASELINE #5)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from idsp_tpu.filters import cic, hbf, lowpass, pll
-from idsp_tpu.ops import accu, sweptsine
+from idsp_tpu.ops import sweptsine
 from idsp_tpu.pipelines import ddc_bank, rate_conversion
 
 

@@ -1,7 +1,6 @@
 """stream.py composition model tests."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from idsp_tpu import stream

@@ -1,11 +1,10 @@
 """SVF, normal form, WDF, and elementary-processor gates."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from idsp_tpu import process
-from idsp_tpu.design import Filter, freqz_ba5
+from idsp_tpu.design import Filter
 from idsp_tpu.filters import biquad, normal, svf, wdf
 
 
