@@ -244,6 +244,127 @@ def main(argv=None):
         print(f"sp df1 x{nd}: {rate / 1e6:.1f} MS/s  speedup={eff:.2f}"
               f"  collectives/block: {coll_s}", flush=True)
 
+    # PP: S-stage pipelined SOS cascade, one stage per device, block
+    # storage sharded over the pipe (O(nb/S) memory per device).  The
+    # cascade DEEPENS with the device count at fixed stream length — an
+    # ideal pipeline holds samples/s constant as stages are added, so
+    # efficiency is rate(nd) / rate(1).
+    pp_base = None
+    for nd in dev_counts:
+        if nd > len(jax.devices()):
+            continue
+        mesh = Mesh(np.array(jax.devices()[:nd]), ("pp",))
+        nb = 4 * nd  # blocks divisible by the stage count
+        tb = max(64, t // nb)
+        bas = jnp.asarray(
+            [
+                biquad.quantize_ba(
+                    biquad.from_cookbook(
+                        Filter().critical_frequency(
+                            0.02 + 0.01 * (i % 4)
+                        ).lowpass()
+                    ),
+                    29,
+                )
+                for i in range(nd)
+            ]
+        )
+        xb = jnp.asarray(
+            rng.integers(
+                -(2**24), 2**24, size=(nb, tb, cpd), dtype=np.int64
+            ).astype(np.int32)
+        )
+
+        from jax import shard_map as _shard_map
+        from idsp_tpu.parallel.pipeline import pipelined_sos_cascade_sharded
+
+        fn = jax.jit(
+            _shard_map(
+                lambda ba, x: pipelined_sos_cascade_sharded(
+                    ba, x, nb, 29, "pp"
+                ),
+                mesh=mesh,
+                in_specs=(P(), P("pp")),
+                out_specs=P("pp"),
+            )
+        )
+        compiled = fn.lower(bas, xb).compile()
+        coll = _collective_bytes(compiled.as_text())
+        out = fn(bas, xb)
+        sync(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                ys = fn(bas, xb)
+            sync(ys)
+            best = min(best, time.perf_counter() - t0)
+        rate = nb * tb * cpd * args.iters / best
+        if pp_base is None:
+            pp_base = rate
+        eff = rate / pp_base
+        coll_s = (
+            ", ".join(f"{k}={v / 1e3:.1f}kB" for k, v in sorted(coll.items()))
+            or "none"
+        )
+        rows.append((f"pp sos x{nd}", nd, rate, eff, coll_s))
+        print(f"pp sos x{nd} ({nd} stages): {rate / 1e6:.1f} MS/s"
+              f"  eff={eff:.2f}  collectives/block: {coll_s}", flush=True)
+
+    # TP: polyphase channelizer with the DFT contraction axis sharded
+    # and psum'd partials — strong scaling of a fixed M-branch bank.
+    from idsp_tpu.pipelines import channelizer
+
+    tp_base = None
+    m_ch = 256
+    taps_ch = 8
+    n_frames = max(8, t // m_ch)
+    for nd in dev_counts:
+        if nd > len(jax.devices()) or m_ch % nd:
+            continue
+        mesh = Mesh(np.array(jax.devices()[:nd]), ("tp",))
+        xf = jnp.asarray(
+            rng.normal(size=(n_frames, m_ch, 2)).astype(np.float32)
+        )
+        st_tp = channelizer.init(m_ch, taps_ch)
+
+        from jax import shard_map as _shard_map
+
+        fn = jax.jit(
+            _shard_map(
+                lambda st, x: channelizer.channelize_tp(
+                    st, x, "tp", m=m_ch, taps=taps_ch
+                ),
+                mesh=mesh,
+                in_specs=(P(None, "tp", None), P(None, "tp", None)),
+                out_specs=(P(None, "tp", None), P()),
+            )
+        )
+        compiled = fn.lower(st_tp, xf).compile()
+        coll = _collective_bytes(compiled.as_text())
+        out = fn(st_tp, xf)
+        sync(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s2 = st_tp
+            for _ in range(args.iters):
+                s2, ys = fn(s2, xf)
+            sync(ys)
+            best = min(best, time.perf_counter() - t0)
+        rate = n_frames * m_ch * args.iters / best
+        if tp_base is None:
+            tp_base = rate
+        eff = rate / tp_base
+        coll_s = (
+            ", ".join(f"{k}={v / 1e3:.1f}kB" for k, v in sorted(coll.items()))
+            or "none"
+        )
+        rows.append((f"tp channelizer m{m_ch} x{nd}", nd, rate, eff, coll_s))
+        print(f"tp channelizer m{m_ch} x{nd}: {rate / 1e6:.1f} MS/s"
+              f"  speedup={eff:.2f}  collectives/block: {coll_s}",
+              flush=True)
+
     if args.write_md:
         path = os.path.join(os.path.dirname(__file__), "SCALING.md")
         with open(path, "w") as fh:
@@ -256,8 +377,13 @@ def main(argv=None):
                 "rate / (n * single-device rate); the >= 80% north star\n"
                 "applies to this table on real multi-chip hardware.\n"
                 "SP rows are strong scaling of a fixed-length stream\n"
-                "(speedup vs 1 device).  Collective volume is per\n"
-                "compiled step, parsed from HLO.\n\n"
+                "(speedup vs 1 device).  PP rows pipeline an\n"
+                "S = n_devices stage SOS cascade with sharded block\n"
+                "storage — an ideal pipeline holds samples/s constant\n"
+                "as stages deepen, so eff = rate(n)/rate(1).  TP rows\n"
+                "strong-scale a fixed 256-branch channelizer with the\n"
+                "DFT contraction sharded + psum'd.  Collective volume\n"
+                "is per compiled step, parsed from HLO.\n\n"
                 "| config | devices | MS/s | eff/speedup | collectives |\n"
                 "|---|---|---|---|---|\n"
             )

@@ -308,6 +308,8 @@ def main(argv=None):
     )
     run_trials("f64 df1 (scan)", scan_of(biquad.df1_step, jnp.asarray(ba5)),
                biquad.df1_init((c,), jnp.float64), xs_f64)
+    run_trials("f64 df2t (scan)", scan_of(biquad.df2t_step, jnp.asarray(ba5)),
+               biquad.df2t_init((c,), jnp.float64), xs_f64)
 
     # ---- cascade4 (biquad.rs "idsp q32 Cascade4") ----
     ba_c = jnp.asarray(np.stack([biquad.quantize_ba(ba5, 29)] * 4))
@@ -382,6 +384,39 @@ def main(argv=None):
             wdf_states, xs_i,
         )
 
+    # ---- WDF complementary allpass 19th order (biquad.rs:143-173,
+    # Gazsi 1985 Example 5; baseline 83 cyc/smp M7) ----
+    g19_0 = [
+        (wdf.nibbles(0x1, 1), [0.0]),
+        (wdf.nibbles(0x1C, 2), [-0.226119, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.602422, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.83932, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.950847, 0.0]),
+    ]
+    g19_1 = [
+        (wdf.nibbles(0x1C, 2), [-0.063978, 0.0]),
+        (wdf.nibbles(0x1C, 2), [-0.423068, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.741327, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.905567, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.984721, 0.0]),
+    ]
+    b0_19 = [(tp_, jnp.asarray(wdf.quantize(tp_, gg))) for tp_, gg in g19_0]
+    b1_19 = [(tp_, jnp.asarray(wdf.quantize(tp_, gg))) for tp_, gg in g19_1]
+    wdf19_states = (
+        [wdf.init(len(tp_), (c,)) for tp_, _ in g19_0],
+        [wdf.init(len(tp_), (c,)) for tp_, _ in g19_1],
+    )
+    run_trials("wdf-ca-19 (scan)",
+               jax.jit(lambda sts, xs: wdf.pair_block(b0_19, b1_19, sts, xs)),
+               wdf19_states, xs_i)
+    if c % 128 == 0:
+        run_trials(
+            "wdf-ca-19 (pallas)",
+            lambda sts, xs: wdf_pair_bank(b0_19, b1_19, sts, xs,
+                                          time_chunk=tc, unroll=4),
+            wdf19_states, xs_i,
+        )
+
     # ---- PLL bank ----
     pba = jnp.asarray(pll.coefficients_from_bandwidth(1e-2, 4.0))
     run_trials("pll bank (scan)",
@@ -449,6 +484,57 @@ def main(argv=None):
             (biquad.df1_init((c,), jnp.int32),
              tuple(hbf1_tail_init(c, len(tv)) for tv in taps3)), xs_i,
         )
+
+        # the clamp (anti-windup) production variant, fused the same way
+        from idsp_tpu.filters.ddc_pallas import df1_clamp_hbf_cascade_bank
+
+        def run_fold3_clamp(st, xs):
+            bq, tails = st
+            bq, tails, y8 = df1_clamp_hbf_cascade_bank(
+                ba_q29, bq, tails, xs, 29,
+                u=0, lo=-(1 << 29), hi=(1 << 29) - 1, taps=taps3,
+                time_chunk=128, unroll=4,
+            )
+            return (bq, tails), y8
+
+        run_trials(
+            "q32 clamp df1+hbf dec8 (one kernel)", run_fold3_clamp,
+            (biquad.df1_init((c,), jnp.int32),
+             tuple(hbf1_tail_init(c, len(tv)) for tv in taps3)), xs_i,
+        )
+
+        # the whole HEADLINE chain in one kernel: in-kernel fast-LO mix
+        # (ops/fastlo.py, SNR-gated) + DF1 + 3 HBF stages; input is the
+        # real full-rate stream, 2c I|Q lanes inside
+        if c % 256 == 0:
+            from idsp_tpu.filters.ddc_pallas import fastlo_ddc_cascade_bank
+
+            ch = c // 2
+            steps_lo = jnp.asarray(
+                rng.integers(1 << 24, 1 << 30, size=(ch,),
+                             dtype=np.int64).astype(np.int32)
+            )
+            x_lo = jnp.asarray(
+                rng.integers(-(2**27), 2**27, size=(t,),
+                             dtype=np.int64).astype(np.int32)
+            )
+
+            def run_fastlo(st, x, steps_a):
+                bq, tails, ph = st
+                bq, tails, ph, y8 = fastlo_ddc_cascade_bank(
+                    ba_q29, bq, tails, ph, steps_a, x, 29, taps=taps3,
+                    time_chunk=128, unroll=4,
+                )
+                return (bq, tails, ph), y8
+
+            run_trials(
+                "fastlo mix+df1+hbf dec8 (one kernel)", run_fastlo,
+                (biquad.df1_init((c,), jnp.int32),
+                 tuple(hbf1_tail_init(c, len(tv)) for tv in taps3),
+                 jnp.zeros((ch,), jnp.int32)),
+                x_lo, steps_lo,
+                samples=ch * t,
+            )
     x_hbf_lo = jnp.asarray(rng.normal(size=(c, t // 8)).astype(np.float32))
     run_trials("hbf int8 cascade",
                jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x)),
@@ -497,6 +583,131 @@ def main(argv=None):
     run_trials("cic int N=3 R=16",
                jax.jit(lambda st, x: cic.interpolate_block(st, x, 15)),
                cic.init(3, 1, (c,)), x_cic_lo)
+
+    # modular recomposition (Integrator^N -> Downsample -> Comb^N),
+    # bit-equal to the monolithic path (cic.rs:305-387; the reference
+    # benches the monolithic/modular/chunked triple at cic.rs:413-421 —
+    # the TPU monolithic path IS the blocked/chunked formulation)
+    from idsp_tpu import process
+
+    def run_cic_mod_dec(st, x):
+        ints, combs = st
+        cur = x
+        new_ints, new_combs = [], []
+        for s in ints:
+            s2, cur = process.integrator_block(s, cur)
+            new_ints.append(s2)
+        cur = process.downsample(cur, 16, 0)
+        for s in combs:
+            s2, cur = process.comb_block(s, cur)
+            new_combs.append(s2)
+        return (new_ints, new_combs), cur
+
+    run_trials(
+        "cic dec modular N=3 R=16", jax.jit(run_cic_mod_dec),
+        ([process.integrator_init((c,)) for _ in range(3)],
+         [process.delay_init(1, (c,), jnp.int32) for _ in range(3)]),
+        x_cic,
+    )
+
+    def run_cic_mod_int(st, x):
+        combs, ints = st
+        cur = x
+        new_combs, new_ints = [], []
+        for s in combs:
+            s2, cur = process.comb_block(s, cur)
+            new_combs.append(s2)
+        cur = process.hold(cur, 16)
+        for s in ints:
+            s2, cur = process.integrator_block(s, cur)
+            new_ints.append(s2)
+        return (new_combs, new_ints), cur
+
+    run_trials(
+        "cic int modular N=3 R=16", jax.jit(run_cic_mod_int),
+        ([process.delay_init(1, (c,), jnp.int32) for _ in range(3)],
+         [process.integrator_init((c,)) for _ in range(3)]),
+        x_cic_lo,
+    )
+
+    # ---- ddc_lockin bank (BASELINE config #2: f32 quadrature mix +
+    # shared-coefficient I/Q lowpass, ddc_lockin.rs:27-42) ----
+    lo_fs = np.linspace(0.05, 0.45, c)
+    ph_t = (
+        np.arange(t, dtype=np.float64)[:, None] * (2 * np.pi * lo_fs[None])
+    ) % (2 * np.pi)
+    lo_cos = jnp.asarray(np.cos(ph_t).astype(np.float32))
+    lo_sin = jnp.asarray(np.sin(ph_t).astype(np.float32))
+    ba_ddcl = jnp.asarray(
+        biquad.from_cookbook(
+            Filter().critical_frequency(0.002).lowpass()
+        ).astype(np.float32)
+    )
+    x_one = xs_f32[:, :1]
+
+    def run_ddcl(st, lc, ls):
+        iq = jnp.concatenate([x_one * lc, -(x_one * ls)], axis=1)
+        return biquad.df1_block_float(ba_ddcl, st, iq)
+
+    run_trials("ddc lockin bank (f32 assoc)", jax.jit(run_ddcl),
+               biquad.df1_init((2 * c,), jnp.float32), lo_cos, lo_sin)
+
+    # ---- polyphase channelizer M=1024 (reference example #3 scaled to
+    # the BASELINE wideband config; DFT as complex MXU matmul) ----
+    from idsp_tpu.pipelines import channelizer as chz
+
+    m_ch = 1024
+    n_fr = max(32, t // m_ch)
+    x_fr = jnp.asarray(
+        rng.normal(size=(n_fr, m_ch, 2)).astype(np.float32)
+    )
+    run_trials(
+        "channelizer m=1024 (mxu dft)",
+        jax.jit(lambda st, x: chz.channelize(st, x, m=m_ch, taps=8)),
+        chz.init(m_ch, 8), x_fr, samples=n_fr * m_ch,
+    )
+
+    # ---- 1024-channel DDC bank with per-channel PLL (BASELINE #5) ----
+    from idsp_tpu.pipelines import ddc_bank
+
+    cb = 1024
+    x_bank = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    steps_bank = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(cb,), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    lp2_gains = tuple(int(v) for v in lowpass.gains2(0.004))
+    pll_ba_t = tuple(
+        int(v) for v in pll.coefficients_from_bandwidth(2e-2, 4.0)
+    )
+    ba_bank = tuple(
+        int(v)
+        for v in biquad.quantize_ba(
+            biquad.from_cookbook(
+                Filter().critical_frequency(0.004).lowpass()
+            ),
+            29,
+        )
+    )
+    run_trials(
+        "ddc bank 1024ch (lowpass2+pll)",
+        lambda s, x, stp: ddc_bank.ddc_bank_block(
+            s, x, stp, lp2_gains, pll_ba_t, decimate=16
+        ),
+        ddc_bank.init(cb), x_bank, steps_bank, samples=cb * t,
+    )
+    run_trials(
+        "ddc bank 1024ch (biquad+pll)",
+        lambda s, x, stp: ddc_bank.ddc_bank_block_biquad(
+            s, x, stp, ba_bank, pll_ba_t, decimate=16
+        ),
+        ddc_bank.init_biquad(cb), x_bank, steps_bank, samples=cb * t,
+    )
 
     dev = jax.devices()[0]
     header = (
@@ -573,8 +784,21 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "fir es-8 (block conv)": "115.5 cyc/smp M7",
         "hbf dec8 cascade": ">2 GS/s/core Skylake",
         "hbf int8 cascade": "476.7 cyc/smp M7",
-        "cic dec N=3 R=16": "2.84 cyc/smp pinned x86",
-        "cic int N=3 R=16": "1.22 cyc/smp pinned x86",
+        "cic dec N=3 R=16": "2.84/1.70 cyc/smp x86 (mono/chunked)",
+        "cic int N=3 R=16": "1.22/2.69 cyc/smp x86 (mono/chunked)",
+        "cic dec modular N=3 R=16": "3.02 cyc/smp x86 (modular)",
+        "cic int modular N=3 R=16": "1.22 cyc/smp x86 (modular)",
+        "f64 df2t (scan)": "40.7 cyc/smp M7",
+        "wdf-ca-19 (scan)": "83.0 cyc/smp M7",
+        "wdf-ca-19 (pallas)": "same",
+        "q32 clamp df1+hbf dec8 (one kernel)": "fused production chain",
+        "fastlo mix+df1+hbf dec8 (one kernel)":
+            "full headline chain; >= 1 GS/s north star",
+        "ddc lockin bank (f32 assoc)": "ddc_lockin.rs example",
+        "channelizer m=1024 (mxu dft)":
+            "polyphase_channelizer.rs scaled to M=1024",
+        "ddc bank 1024ch (lowpass2+pll)": "BASELINE #5 wideband bank",
+        "ddc bank 1024ch (biquad+pll)": "BASELINE #5 (biquad variant)",
     }
     for r in rows:
         med, spread = gs(r.name)

@@ -145,3 +145,46 @@ def test_rate_adapters():
     c = process.chunk(x, 4)
     assert c.shape == (3, 4)
     np.testing.assert_array_equal(np.asarray(process.dechunk(c)), np.asarray(x))
+
+
+def test_wdf_ca19_halfband_response():
+    """The 19th-order complementary-allpass pair (Gazsi 1985 Example 5,
+    the reference's wdf-ca-19 bench config, biquad.rs:143-173) forms a
+    half-band lowpass: unit DC gain (after the pair /2), sub-microdB
+    passband ripple, < -75 dB stopband."""
+    import jax.numpy as jnp
+    from idsp_tpu.filters import wdf
+
+    g19_0 = [
+        (wdf.nibbles(0x1, 1), [0.0]),
+        (wdf.nibbles(0x1C, 2), [-0.226119, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.602422, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.83932, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.950847, 0.0]),
+    ]
+    g19_1 = [
+        (wdf.nibbles(0x1C, 2), [-0.063978, 0.0]),
+        (wdf.nibbles(0x1C, 2), [-0.423068, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.741327, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.905567, 0.0]),
+        (wdf.nibbles(0x1D, 2), [-0.984721, 0.0]),
+    ]
+    b0 = [(tp, jnp.asarray(wdf.quantize(tp, g))) for tp, g in g19_0]
+    b1 = [(tp, jnp.asarray(wdf.quantize(tp, g))) for tp, g in g19_1]
+    sts = (
+        [wdf.init(len(tp), (1,)) for tp, _ in g19_0],
+        [wdf.init(len(tp), (1,)) for tp, _ in g19_1],
+    )
+    n = 4096
+    x = np.zeros((n, 1), np.int32)
+    x[0] = 1 << 27
+    _, (ysum, _ydiff) = wdf.pair_block(b0, b1, sts, jnp.asarray(x))
+    h = np.asarray(ysum, np.float64)[:, 0] / (1 << 28)
+    mag = np.abs(np.fft.rfft(h))
+    f = np.linspace(0, 0.5, len(mag))
+    pb = mag[f < 0.20]
+    sb = mag[f > 0.30]
+    assert abs(mag[0] - 1.0) < 1e-5
+    assert 20 * np.log10(pb.max()) < 1e-5
+    assert 20 * np.log10(pb.min()) > -1e-5
+    assert 20 * np.log10(sb.max()) < -75.0
