@@ -117,7 +117,8 @@ def main(argv=None):
             return time.perf_counter() - t0
 
         row = Row(name)
-        for _ in range(trials):
+
+        def one_trial():
             # min-of-2 per leg: the tunnel's dispatch latency has
             # multi-ms spikes that otherwise leak into the difference.
             # A non-positive difference (clock wander mid-trial) is a
@@ -128,7 +129,35 @@ def main(argv=None):
                 dt = (d2 - d1) / (2 * iters)
                 if dt > 0:
                     row.rates.append(samples / dt)
-                    break
+                    return
+
+        for _ in range(trials):
+            one_trial()
+        # Variance control: the chip clock wanders run-to-run; a row
+        # whose min-max spread exceeds 40% of the median answers no
+        # question.  Keep measuring (up to 4x the base trials) until the
+        # CENTRAL spread tightens — drop the single worst outlier on
+        # each side before judging, since the median is robust to them.
+        def central_spread():
+            rs = sorted(row.rates)
+            if len(rs) >= 5:
+                rs = rs[1:-1]
+            med = statistics.median(rs)
+            return (rs[-1] - rs[0]) / med if med else 0.0, rs
+
+        extra_budget = 3 * trials
+        while row.rates and extra_budget > 0:
+            sp, _ = central_spread()
+            if sp <= 0.40:
+                break
+            one_trial()
+            extra_budget -= 1
+        if row.rates and len(row.rates) >= 5:
+            sp, rs = central_spread()
+            if sp <= 0.40:
+                # report the trimmed set so RESULTS.md reflects the
+                # converged measurement, not the discarded outliers
+                row.rates = rs
         if not row.rates:
             print(f"# {name}: no valid trials (clock wander)")
             return
