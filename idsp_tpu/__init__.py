@@ -38,6 +38,7 @@ from .ops import (  # noqa: E402
     cordic,
     dither,
     dsm,
+    fastlo,
     sweptsine,
     trig,
     unwrap,
@@ -52,6 +53,7 @@ __all__ = [
     "cossin",
     "dither",
     "dsm",
+    "fastlo",
     "fxp",
     "luts",
     "sweptsine",
