@@ -263,6 +263,125 @@ def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
     return new_state, ys.reshape(t, c)
 
 
+def df1_bank_q_dec(ba, state: Df1State, xs, f: int = 29, *, d: int = 16,
+                   time_chunk: int = 256, interpret: bool = False,
+                   out_dtype=None):
+    """DF1 bank with keep-1-in-``d`` decimation in the kernel epilogue.
+
+    The DDC-bank channel filter (pipelines/ddc_bank.py) decimates the
+    biquad output by 16; emitting only every d-th row from the kernel
+    cuts the output HBM traffic by d and replaces the separate
+    reshape+slice pass.  The sequential loop is unrolled by ``d`` so
+    the emission slot (sample index % d == 0 — the row `yiq[::d]`
+    keeps) is static.  Bit-identical to ``df1_bank_q(...)[1][::d]``;
+    the carried state is the full-rate state, exact.
+
+    Returns (state, ys) with ys (t // d, c).
+    """
+    import numpy as _np
+
+    ba_static = tuple(int(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _df1_bank_q_dec_impl(
+        ba_static, state, xs, f, int(d), time_chunk=time_chunk,
+        interpret=interpret,
+        out_dtype=None if out_dtype is None else jnp.dtype(out_dtype),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "d", "time_chunk", "interpret",
+                     "out_dtype"),
+)
+def _df1_bank_q_dec_impl(ba_static, state: Df1State, xs, f: int, d: int, *,
+                         time_chunk: int, interpret: bool = False,
+                         out_dtype=None):
+    t, c = xs.shape
+    assert c % 128 == 0 and t % d == 0
+    cs = c // 128
+    ot = jnp.int32 if out_dtype is None else out_dtype
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+
+    vmem_cap = max(8, (12 * 2**20) // (16 * c))
+    while time_chunk > vmem_cap or t % time_chunk or time_chunk % d:
+        time_chunk //= 2
+        assert time_chunk >= d, (
+            f"cannot fit a time chunk divisible by d={d} for t={t}"
+        )
+    tc = time_chunk
+    grid = (t // tc,)
+
+    def kernel(st_in_ref, x_ref, y_ref, out_state_ref, state_ref):
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+
+        def step(j, packed):
+            carry = tuple(packed[r] for r in range(4))
+            for u in range(d):
+                x0 = x_ref[j * d + u]
+                x1, x2, y1, y2 = carry
+                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+                carry = (x0, x1, y0, y1)
+                if u == 0:  # the row yiq[::d] keeps
+                    y_ref[j] = y0.astype(ot)
+            return jnp.stack(carry)
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc // d), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+
+    def fixed(r):
+        return pl.BlockSpec(
+            (r, cs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    ys, st_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed(4),
+            pl.BlockSpec(
+                (tc, cs, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tc // d, cs, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            fixed(4),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t // d, cs, 128), ot),
+            jax.ShapeDtypeStruct((4, cs, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, cs, 128), jnp.int32)],
+        interpret=interpret,
+    )(st_in, xs.reshape(t, cs, 128))
+
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t // d, c)
+
+
 # --- shared plumbing for the bank-kernel family ------------------------------
 #
 # Every bank kernel below has the same shape: a (rows, cs, 128) packed

@@ -102,7 +102,7 @@ def ddc_bank_block_biquad(
     # Mosaic's in-kernel select chain costs ~1.7x XLA's even with the
     # sub-chunked mix (scripts/tpu_fused_sub_probe.py vs
     # tpu_split_probe.py: 2.6 ms vs 3.2 ms for the mix+DF1 front end).
-    from ..filters.biquad_pallas import df1_bank_q
+    from ..filters.biquad_pallas import df1_bank_q_dec
 
     phases = accu.ramp_t(state.nco_phase, nco_steps, t)
     lo_re, lo_im = cossin(phases)
@@ -110,14 +110,13 @@ def ddc_bank_block_biquad(
     mi = fxp.q_apply(lo_re, xi, 32)
     mq = fxp.q_apply(-lo_im, xi, 32)
     miq = jnp.concatenate([mi, mq], axis=1)
-    bq_state, yiq = df1_bank_q(
-        ba_q, state.bq, miq, f, interpret=interpret
+    # keep-1-in-d decimation in the kernel epilogue: cuts the kernel's
+    # output HBM traffic by d and replaces the separate reshape+slice
+    # pass (a bare `yiq[::d]` would lower to a while-loop gather on TPU
+    # anyway — profiled at ~11 ms/block at (65536, 2048)).
+    bq_state, yiq_d = df1_bank_q_dec(
+        ba_q, state.bq, miq, f, d=decimate, interpret=interpret
     )
-    # Decimate via reshape + unit slice: a bare `yiq[::d]` stride-d
-    # slice lowers to a while-loop gather on TPU (profiled at ~11 ms
-    # per block at (65536, 2048) — 4x the biquad kernel itself); the
-    # reshaped form is a plain strided-DMA slice.
-    yiq_d = yiq.reshape(t // decimate, decimate, 2 * c)[:, 0, :]
     yi_d = yiq_d[:, :c]
     yq_d = yiq_d[:, c:]
 

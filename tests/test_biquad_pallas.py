@@ -1053,3 +1053,31 @@ def test_pallas_fastlo_cascade_clamp_variant():
     rms_sig = np.sqrt((ya**2).mean()) + 1.0
     rms_d = np.sqrt(((ya - yb) ** 2).mean())
     assert rms_d < 1e-5 * rms_sig, (rms_d, rms_sig)
+
+
+def test_pallas_df1_bank_dec_bitexact():
+    # keep-1-in-d kernel epilogue == full-rate kernel + [::d]; state
+    # carries the full-rate recurrence exactly.
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q, df1_bank_q_dec
+
+    c, t, d = 128, 512, 16
+    rng = np.random.default_rng(40)
+    ba_q = _ba_q(0.02)
+    st_a = biquad.df1_init((c,), jnp.int32)
+    st_b = biquad.df1_init((c,), jnp.int32)
+    for _ in range(2):
+        xs = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t, c),
+                         dtype=np.int64).astype(np.int32)
+        )
+        st_a, ys = df1_bank_q(ba_q, st_a, xs, 29, time_chunk=128,
+                              interpret=True)
+        st_b, yd = df1_bank_q_dec(ba_q, st_b, xs, 29, d=d,
+                                  time_chunk=128, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(ys)[::d], np.asarray(yd)
+        )
+        np.testing.assert_array_equal(np.asarray(st_a.y),
+                                      np.asarray(st_b.y))
+        np.testing.assert_array_equal(np.asarray(st_a.x),
+                                      np.asarray(st_b.x))
