@@ -737,6 +737,13 @@ def main(argv=None):
         ),
         ddc_bank.init_biquad(cb), x_bank, steps_bank, samples=cb * t,
     )
+    run_trials(
+        "ddc bank 1024ch (biquad+pll, fastlo)",
+        lambda s, x, stp: ddc_bank.ddc_bank_block_biquad(
+            s, x, stp, ba_bank, pll_ba_t, decimate=16, lo_mode="fast"
+        ),
+        ddc_bank.init_biquad(cb), x_bank, steps_bank, samples=cb * t,
+    )
 
     dev = jax.devices()[0]
     header = (
@@ -828,6 +835,8 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "polyphase_channelizer.rs scaled to M=1024",
         "ddc bank 1024ch (lowpass2+pll)": "BASELINE #5 wideband bank",
         "ddc bank 1024ch (biquad+pll)": "BASELINE #5 (biquad variant)",
+        "ddc bank 1024ch (biquad+pll, fastlo)":
+            "BASELINE #5 (SNR-gated fast LO)",
     }
     for r in rows:
         med, spread = gs(r.name)

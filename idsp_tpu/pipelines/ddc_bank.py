@@ -71,7 +71,8 @@ def init_biquad(n_channels: int) -> DdcBankBiquadState:
 
 @partial(
     jax.jit,
-    static_argnames=("decimate", "f", "ba_q", "pll_ba", "interpret"),
+    static_argnames=("decimate", "f", "ba_q", "pll_ba", "lo_mode",
+                     "interpret"),
 )
 def ddc_bank_block_biquad(
     state: DdcBankBiquadState,
@@ -82,6 +83,7 @@ def ddc_bank_block_biquad(
     *,
     decimate: int = 16,
     f: int = 29,
+    lo_mode: str = "exact",
     interpret: bool = False,
 ):
     """DDC bank with the Pallas Q32 biquad as the channel filter.
@@ -91,6 +93,12 @@ def ddc_bank_block_biquad(
     stacked I|Q bank is a multiple of 128).  ``ba_q`` and ``pll_ba``
     are STATIC tuples of ints (the kernels bake coefficients as
     constants; use `df1_bank_q_coef` for runtime retune).
+
+    ``lo_mode="fast"`` mixes with the coarse/fine factored LO
+    (ops/fastlo.py) instead of the exact LUT `cossin` — the documented
+    SNR-gated fast path (mix LSB-rounding noise ~-130 dBc, far below
+    the PLL tracking floor); "exact" is bit-exact with the reference
+    semantics.
     """
     t = x.shape[0]
     c = state.nco_phase.shape[0]
@@ -104,12 +112,17 @@ def ddc_bank_block_biquad(
     # tpu_split_probe.py: 2.6 ms vs 3.2 ms for the mix+DF1 front end).
     from ..filters.biquad_pallas import df1_bank_q_dec
 
-    phases = accu.ramp_t(state.nco_phase, nco_steps, t)
-    lo_re, lo_im = cossin(phases)
-    xi = x[:, None]
-    mi = fxp.q_apply(lo_re, xi, 32)
-    mq = fxp.q_apply(-lo_im, xi, 32)
-    miq = jnp.concatenate([mi, mq], axis=1)
+    if lo_mode == "fast":
+        from ..ops.fastlo import fastlo_mix
+
+        miq = fastlo_mix(x, state.nco_phase, nco_steps, min(128, t))
+    else:
+        phases = accu.ramp_t(state.nco_phase, nco_steps, t)
+        lo_re, lo_im = cossin(phases)
+        xi = x[:, None]
+        mi = fxp.q_apply(lo_re, xi, 32)
+        mq = fxp.q_apply(-lo_im, xi, 32)
+        miq = jnp.concatenate([mi, mq], axis=1)
     # keep-1-in-d decimation in the kernel epilogue: cuts the kernel's
     # output HBM traffic by d and replaces the separate reshape+slice
     # pass (a bare `yiq[::d]` would lower to a while-loop gather on TPU
@@ -144,7 +157,7 @@ def ddc_bank_block_biquad(
 
 
 @partial(
-    jax.jit, static_argnames=("decimate", "lp_gains", "pll_ba")
+    jax.jit, static_argnames=("decimate", "lp_gains", "pll_ba", "lo_mode")
 )
 def ddc_bank_block(
     state: DdcBankState,
@@ -154,12 +167,14 @@ def ddc_bank_block(
     pll_ba,
     *,
     decimate: int = 16,
+    lo_mode: str = "exact",
 ):
     """Process one block. x: (t,) i32 wideband samples; t must be a
     multiple of `decimate`.
 
     ``lp_gains`` and ``pll_ba`` are STATIC tuples of ints (they feed
-    Pallas kernels as baked constants on TPU).
+    Pallas kernels as baked constants on TPU).  ``lo_mode="fast"``
+    mixes with the SNR-gated coarse/fine LO (ops/fastlo.py).
 
     Returns (state, (i, q, phase, frequency)) at the decimated rate,
     each (t/decimate, c).
@@ -170,13 +185,19 @@ def ddc_bank_block(
     c = state.nco_phase.shape[0]
     assert t % decimate == 0
 
-    # per-channel NCO (t, c), continuing from the carried phase
-    phases = accu.ramp_t(state.nco_phase, nco_steps, t)
-    lo_re, lo_im = cossin(phases)
-    # conjugate mix: x * exp(-j phi) with Q32<32> LO
-    xi = x[:, None]
-    mix_i = fxp.q_apply(lo_re, xi, 32)
-    mix_q = fxp.q_apply(-lo_im, xi, 32)
+    if lo_mode == "fast":
+        from ..ops.fastlo import fastlo_mix
+
+        miq = fastlo_mix(x, state.nco_phase, nco_steps, min(128, t))
+        mix_i, mix_q = miq[:, :c], miq[:, c:]
+    else:
+        # per-channel NCO (t, c), continuing from the carried phase
+        phases = accu.ramp_t(state.nco_phase, nco_steps, t)
+        lo_re, lo_im = cossin(phases)
+        # conjugate mix: x * exp(-j phi) with Q32<32> LO
+        xi = x[:, None]
+        mix_i = fxp.q_apply(lo_re, xi, 32)
+        mix_q = fxp.q_apply(-lo_im, xi, 32)
 
     use_kernels = c % 128 == 0 and jax.default_backend() in ("tpu", "axon")
     if use_kernels:

@@ -192,3 +192,32 @@ def test_sweptsine_end_to_end_ddc_channel_response():
         yq, np.float64
     )[:, 3]
     assert (np.abs(z_far) ** 2).mean() < 0.02 * (np.abs(z) ** 2).mean()
+
+
+def test_ddc_bank_fast_lo_acquires_offsets():
+    # lo_mode="fast" (coarse/fine factored LO, ops/fastlo.py): the PLL
+    # bank locks to the same offsets within the same gates — the bank-
+    # level matched-SNR check for the fast path.
+    c = 16
+    rng = np.random.default_rng(1)
+    grid = 1 << 26
+    steps = ((np.arange(c) + 8) * grid).astype(np.int64).astype(np.int32)
+    offsets = rng.integers(-(1 << 16), 1 << 16, size=c,
+                           dtype=np.int64).astype(np.int32)
+    n = 1 << 15
+    decim = 16
+    x = ddc_bank.make_tone_bank(steps, n, amplitude=1 << 26,
+                                offsets=offsets)
+
+    st = ddc_bank.init(c)
+    lp_gains = tuple(int(v) for v in lowpass.gains2(0.001))
+    pll_ba = tuple(int(v) for v in pll.coefficients_from_bandwidth(2e-2, 4.0))
+    st, (yi, yq, yp, freq) = ddc_bank.ddc_bank_block(
+        st, x, jnp.asarray(steps), lp_gains, pll_ba, decimate=decim,
+        lo_mode="fast",
+    )
+    freq = np.asarray(freq).astype(np.int64)
+    want = -(offsets.astype(np.int64) * decim)
+    err = (freq - want + 2**31) % 2**32 - 2**31
+    assert np.median(np.abs(err)) < 1 << 16, err
+    assert np.abs(err).max() < (1 << 31) * 1e-4, err
