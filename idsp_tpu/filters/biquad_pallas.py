@@ -269,12 +269,11 @@ def df1_bank_q_dec(ba, state: Df1State, xs, f: int = 29, *, d: int = 16,
     """DF1 bank with keep-1-in-``d`` decimation in the kernel epilogue.
 
     The DDC-bank channel filter (pipelines/ddc_bank.py) decimates the
-    biquad output by 16; emitting only every d-th row from the kernel
-    cuts the output HBM traffic by d and replaces the separate
-    reshape+slice pass.  The sequential loop is unrolled by ``d`` so
-    the emission slot (sample index % d == 0 — the row `yiq[::d]`
-    keeps) is static.  Bit-identical to ``df1_bank_q(...)[1][::d]``;
-    the carried state is the full-rate state, exact.
+    biquad output by 16; keeping only every d-th row in the kernel
+    epilogue cuts the output HBM traffic by d and replaces the separate
+    reshape+slice pass (see `_seq_bank_kernel`'s ``dec``).
+    Bit-identical to ``df1_bank_q(...)[1][::d]``; the carried state is
+    the full-rate state, exact.
 
     Returns (state, ys) with ys (t // d, c).
     """
@@ -305,75 +304,17 @@ def _df1_bank_q_dec_impl(ba_static, state: Df1State, xs, f: int, d: int, *,
         axis=0,
     ).reshape(4, cs, 128)
 
-    vmem_cap = max(8, (12 * 2**20) // (16 * c))
-    while time_chunk > vmem_cap or t % time_chunk or time_chunk % d:
-        time_chunk //= 2
-        assert time_chunk >= d, (
-            f"cannot fit a time chunk divisible by d={d} for t={t}"
-        )
-    tc = time_chunk
-    grid = (t // tc,)
+    def body(carry, x0, _extras):
+        x1, x2, y1, y2 = carry
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        return (x0, x1, y0, y1), y0.astype(ot)
 
-    def kernel(st_in_ref, x_ref, y_ref, out_state_ref, state_ref):
-        tq = pl.program_id(0)
-        n_t = pl.num_programs(0)
-
-        @pl.when(tq == 0)
-        def _():
-            state_ref[...] = st_in_ref[...]
-
-        def step(j, packed):
-            carry = tuple(packed[r] for r in range(4))
-            for u in range(d):
-                x0 = x_ref[j * d + u]
-                x1, x2, y1, y2 = carry
-                acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
-                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-                carry = (x0, x1, y0, y1)
-                if u == 0:  # the row yiq[::d] keeps
-                    y_ref[j] = y0.astype(ot)
-            return jnp.stack(carry)
-
-        st = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(tc // d), step, state_ref[...]
-        )
-        state_ref[...] = st
-
-        @pl.when(tq == n_t - 1)
-        def _():
-            out_state_ref[...] = st
-
-    def fixed(r):
-        return pl.BlockSpec(
-            (r, cs, 128), lambda i: (i * 0, i * 0, i * 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    ys, st_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            fixed(4),
-            pl.BlockSpec(
-                (tc, cs, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (tc // d, cs, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            ),
-            fixed(4),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t // d, cs, 128), ot),
-            jax.ShapeDtypeStruct((4, cs, 128), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((4, cs, 128), jnp.int32)],
-        interpret=interpret,
-    )(st_in, xs.reshape(t, cs, 128))
-
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body, unroll=4, dec=d), st_in,
+        xs.reshape(t, cs, 128),
+        time_chunk=time_chunk, interpret=interpret, out_dtype=ot,
+    )
     st_out = st_out.reshape(4, c)
     new_state = Df1State(
         x=jnp.stack([st_out[0], st_out[1]], axis=-1),
@@ -414,12 +355,14 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
     # rows uninitialized (garbage via the donated input alias) and
     # corrupt the carried state — keep divisibility while clamping.
     unroll = getattr(kernel, "_unroll", 1)
+    dec = getattr(kernel, "_dec", 1)
     vmem_cap = max(8, (12 * 2**20) // (16 * c))
-    while time_chunk > vmem_cap or t % time_chunk or time_chunk % unroll:
+    while (time_chunk > vmem_cap or t % time_chunk
+           or time_chunk % unroll or time_chunk % dec):
         time_chunk //= 2
         assert time_chunk >= 8, (
             "cannot find a VMEM-fitting time chunk divisible by "
-            f"unroll={unroll} for t={t}"
+            f"unroll={unroll} and dec={dec} for t={t}"
         )
     assert time_chunk >= 8 and time_chunk % unroll == 0
     grid = (t // time_chunk,)
@@ -437,30 +380,52 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
         (time_chunk, cs, 128), lambda i: (i, i * 0, i * 0),
         memory_space=pltpu.VMEM,
     )
+    walk_out = (
+        walk
+        if dec == 1
+        else pl.BlockSpec(
+            (time_chunk // dec, cs, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
     n_extra = len(extra_in)
     aliases = {}
-    if donate and xs3.dtype == out_dtype:
+    if donate and xs3.dtype == out_dtype and dec == 1:
         aliases = {n_extra + 1: 0}
+    scratch = [pltpu.VMEM((rows, cs, 128), st_in.dtype)]
+    if dec > 1:
+        # full-rate chunk output lands here; the kernel epilogue copies
+        # the kept rows (reshape + unit slice) into the walked output
+        scratch.append(pltpu.VMEM((time_chunk, cs, 128), out_dtype))
     ys, st_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[fixed(e.shape[0]) for e in extra_in] + [fixed(rows), walk],
-        out_specs=[walk, fixed(rows)],
+        out_specs=[walk_out, fixed(rows)],
         out_shape=[
-            jax.ShapeDtypeStruct((t, cs, 128), out_dtype),
+            jax.ShapeDtypeStruct((t // dec, cs, 128), out_dtype),
             jax.ShapeDtypeStruct((rows, cs, 128), st_in.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((rows, cs, 128), st_in.dtype)],
+        scratch_shapes=scratch,
         input_output_aliases=aliases,
         interpret=interpret,
     )(*extra_in, st_in, xs3)
     return ys, st_out
 
 
-def _seq_bank_kernel(body, unroll: int = 2, prep=None):
+def _seq_bank_kernel(body, unroll: int = 2, prep=None, dec: int = 1):
     """Wrap a per-chunk ``body(carry, x_row, extra_rows) -> (carry, y)``
     into the standard sequential bank kernel (state in scratch across
     grid steps, packed single-array fori carry, i32 fori bounds).
+
+    ``dec``: keep-1-in-dec output decimation in the kernel epilogue.
+    The sequential loop writes full-rate rows to a VMEM scratch and the
+    chunk epilogue copies the kept rows (``ys[::dec]``) to the walked
+    output via reshape + unit slice — one vectorized pass, no unroll
+    constraint (emitting only at static unrolled slots would force
+    unroll == dec, whose 16-deep unrolled limb bodies explode XLA
+    compile time).  The carried state stays the exact full-rate
+    recurrence.
 
     ``body`` receives the carry as a TUPLE of (cs, 128) rows and must
     return a tuple of rows — the packed array exists only at the fori
@@ -474,7 +439,13 @@ def _seq_bank_kernel(body, unroll: int = 2, prep=None):
     """
 
     def kernel(*refs):
-        *extra_refs, st_in_ref, x_ref, y_ref, out_state_ref, state_ref = refs
+        if dec > 1:
+            (*extra_refs, st_in_ref, x_ref, y_ref, out_state_ref,
+             state_ref, yfull_ref) = refs
+        else:
+            (*extra_refs, st_in_ref, x_ref, y_ref, out_state_ref,
+             state_ref) = refs
+            yfull_ref = y_ref
         tq = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -496,7 +467,7 @@ def _seq_bank_kernel(body, unroll: int = 2, prep=None):
             for u in range(unroll):
                 i = j * unroll + u
                 carry, y = body(carry, x_ref[i], extras)
-                y_ref[i] = y
+                yfull_ref[i] = y
             return jnp.stack(carry)
 
         st = jax.lax.fori_loop(
@@ -504,11 +475,19 @@ def _seq_bank_kernel(body, unroll: int = 2, prep=None):
         )
         state_ref[...] = st
 
+        if dec > 1:
+            cs = x_ref.shape[1]
+            y_ref[...] = yfull_ref[...].reshape(
+                tc // dec, dec, cs, 128
+            )[:, 0]
+
         @pl.when(tq == n_t - 1)
         def _():
             out_state_ref[...] = st
 
+    assert dec >= 1
     kernel._unroll = unroll  # read by _bank_call's time-chunk clamp
+    kernel._dec = dec  # shrinks _bank_call's output walk + adds scratch
     return kernel
 
 

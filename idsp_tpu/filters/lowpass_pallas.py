@@ -67,31 +67,35 @@ def _lp_body(k_static, n, carry, x0):
 
 
 def lowpass_bank(k, state: LowpassState, xs, *, time_chunk: int = 256,
-                 unroll: int = 2, interpret: bool = False):
+                 unroll: int = 2, dec: int = 1, interpret: bool = False):
     """Integer lowpass bank (N=1 or N=2), Pallas fast path.
 
     Args:
       k: (N,) i32 gains (static; `lowpass.gains1/gains2`).
       state: LowpassState with p (c, N) i64, c % 128 == 0.
       xs: (t, c) i32.
+      dec: keep-1-in-dec output decimation in the kernel epilogue
+        (== ``ys[::dec]``); the state carries the full-rate recurrence
+        exactly.
 
-    Returns (state, ys) bit-identical to `lowpass.block`.
+    Returns (state, ys) bit-identical to `lowpass.block` (decimated
+    when dec > 1); ys is (t // dec, c).
     """
     import numpy as _np
 
     k_static = tuple(int(v) for v in _np.asarray(k).reshape(-1))
     return _lowpass_bank_impl(
         k_static, state, xs, time_chunk=time_chunk, unroll=unroll,
-        interpret=interpret,
+        dec=int(dec), interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_static", "time_chunk", "unroll",
+    jax.jit, static_argnames=("k_static", "time_chunk", "unroll", "dec",
                               "interpret")
 )
 def _lowpass_bank_impl(k_static, state: LowpassState, xs, *, time_chunk,
-                       unroll=2, interpret=False):
+                       unroll=2, dec=1, interpret=False):
     t, c = xs.shape
     assert c % 128 == 0
     cs = c // 128
@@ -108,7 +112,7 @@ def _lowpass_bank_impl(k_static, state: LowpassState, xs, *, time_chunk,
         return _lp_body(k_static, n, carry, x0)
 
     ys, st_out = _bank_call(
-        _seq_bank_kernel(body, unroll=unroll), st_in,
+        _seq_bank_kernel(body, unroll=unroll, dec=dec), st_in,
         xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )
@@ -118,4 +122,4 @@ def _lowpass_bank_impl(k_static, state: LowpassState, xs, *, time_chunk,
          for i in range(n)],
         axis=-1,
     )
-    return LowpassState(p=p), ys.reshape(t, c)
+    return LowpassState(p=p), ys.reshape(t // dec, c)

@@ -75,11 +75,25 @@ def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8):
         acc = term if acc is None else acc + term
     new_hist = jax.lax.slice_in_dim(ext, n, taps - 1 + n, axis=-3)
 
-    # DFT across the channel axis: y[m] = sum_k x[k] e^{-2pi i k m / M}.
+    # DFT across the channel axis: y[m] = sum_k x[k] e^{-2pi i k m / M},
+    # as four REAL (n, m) x (m, m) matmuls — the MXU-native form (XLA's
+    # complex dot lowers to the same decomposition but the explicit
+    # planes fuse better with the surrounding real-plane dataflow and
+    # match the tensor-parallel path `channelize_tp` exactly).
     w = _dft_matrix(m)
-    z = acc[..., 0] + 1j * acc[..., 1]  # (..., n, m) complex
-    zf = jnp.einsum("...k,km->...m", z.astype(jnp.complex64), jnp.asarray(w))
-    y = jnp.stack([zf.real, zf.imag], axis=-1)
+    wr = jnp.asarray(np.real(w).astype(np.float32))
+    wi = jnp.asarray(np.imag(w).astype(np.float32))
+    zr, zi = acc[..., 0], acc[..., 1]  # (..., n, m) real planes
+    pet = jnp.float32
+    yr = (
+        jnp.einsum("...k,km->...m", zr, wr, preferred_element_type=pet)
+        - jnp.einsum("...k,km->...m", zi, wi, preferred_element_type=pet)
+    )
+    yi = (
+        jnp.einsum("...k,km->...m", zr, wi, preferred_element_type=pet)
+        + jnp.einsum("...k,km->...m", zi, wr, preferred_element_type=pet)
+    )
+    y = jnp.stack([yr, yi], axis=-1)
     return BankState(hist=new_hist), y
 
 

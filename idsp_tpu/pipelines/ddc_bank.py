@@ -201,27 +201,28 @@ def ddc_bank_block(
 
     use_kernels = c % 128 == 0 and jax.default_backend() in ("tpu", "axon")
     if use_kernels:
-        # kernel path: one fused I|Q lowpass bank on 2c lanes
+        # kernel path: one fused I|Q lowpass bank on 2c lanes with the
+        # keep-1-in-d decimation in the kernel epilogue (output HBM
+        # traffic / d; the separate reshape+slice pass disappears)
         from ..filters.lowpass_pallas import lowpass_bank
 
         lp_iq = lowpass.LowpassState(
             p=jnp.concatenate([state.lp_i.p, state.lp_q.p], axis=0)
         )
-        lp_iq, yiq = lowpass_bank(
-            lp_gains, lp_iq, jnp.concatenate([mix_i, mix_q], axis=1)
+        lp_iq, yiq_d = lowpass_bank(
+            lp_gains, lp_iq, jnp.concatenate([mix_i, mix_q], axis=1),
+            dec=decimate,
         )
         lp_i = lowpass.LowpassState(p=lp_iq.p[:c])
         lp_q = lowpass.LowpassState(p=lp_iq.p[c:])
-        yi, yq = yiq[:, :c], yiq[:, c:]
+        yi_d, yq_d = yiq_d[:, :c], yiq_d[:, c:]
     else:
         lp_i, yi = lowpass.block(jnp.asarray(lp_gains), state.lp_i, mix_i)
         lp_q, yq = lowpass.block(jnp.asarray(lp_gains), state.lp_q, mix_q)
-
-    # decimate (t, c) -> (t/d, c); reshape + unit slice, NOT a stride-d
-    # slice (which lowers to a while-loop gather on TPU — see the
-    # biquad variant above)
-    yi_d = yi.reshape(t // decimate, decimate, c)[:, 0, :]
-    yq_d = yq.reshape(t // decimate, decimate, c)[:, 0, :]
+        # decimate (t, c) -> (t/d, c); reshape + unit slice, NOT a
+        # stride-d slice (which lowers to a while-loop gather on TPU)
+        yi_d = yi.reshape(t // decimate, decimate, c)[:, 0, :]
+        yq_d = yq.reshape(t // decimate, decimate, c)[:, 0, :]
 
     # per-channel PLL on the residual carrier phase
     ph = atan2(yq_d, yi_d)

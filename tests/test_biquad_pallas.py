@@ -1081,3 +1081,27 @@ def test_pallas_df1_bank_dec_bitexact():
                                       np.asarray(st_b.y))
         np.testing.assert_array_equal(np.asarray(st_a.x),
                                       np.asarray(st_b.x))
+
+
+def test_pallas_lowpass_bank_dec_bitexact():
+    # lowpass bank dec epilogue == full-rate bank + [::dec]
+    from idsp_tpu.filters import lowpass
+    from idsp_tpu.filters.lowpass_pallas import lowpass_bank
+
+    c, t, d = 128, 512, 16
+    rng = np.random.default_rng(41)
+    k2 = lowpass.gains2(0.01)
+    st_a = lowpass.init(2, (c,))
+    st_b = lowpass.init(2, (c,))
+    for _ in range(2):
+        xs = jnp.asarray(
+            rng.integers(-(2**27), 2**27, size=(t, c),
+                         dtype=np.int64).astype(np.int32)
+        )
+        st_a, ys = lowpass_bank(k2, st_a, xs, time_chunk=128,
+                                interpret=True)
+        st_b, yd = lowpass_bank(k2, st_b, xs, time_chunk=128, dec=d,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(ys)[::d], np.asarray(yd))
+        np.testing.assert_array_equal(np.asarray(st_a.p),
+                                      np.asarray(st_b.p))
