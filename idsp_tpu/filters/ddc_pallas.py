@@ -642,6 +642,155 @@ def _df1_clamp_hbf_cascade_impl(ba_static, taps_static, state, tails, xs,
     )
 
 
+def fastlo_df1_dec_bank(ba, state: Df1State, phase0, steps, x,
+                        f: int = 29, *, d: int = 16, clamp=None,
+                        time_chunk: int = 128, unroll: int = 4,
+                        trig_dtype=jnp.float64, out_dtype=jnp.int32,
+                        interpret: bool = False):
+    """DDC-bank front end in ONE kernel: in-kernel fast-LO conjugate
+    mix + DF1 biquad bank + keep-1-in-d decimation epilogue.
+
+    The kernel reads only the real wideband stream x (t,) and the tiny
+    coarse/fine LO factor tables, and writes t/d output rows — the
+    full-rate mixed stream never touches HBM (pipelines/ddc_bank.py's
+    biquad variant previously paid a (t, 2c) i32 write+read between
+    the XLA mix and the kernel).  The biquad recurrence runs at full
+    rate with exact integer state; the mix is the documented SNR-gated
+    fast path (ops/fastlo.py).
+
+    Returns (new_state, new_phase0, y) with y (t // d, 2c).
+    """
+    taps_clamp = None if clamp is None else tuple(int(v) for v in clamp)
+    new_state, y = _fastlo_df1_dec_impl(
+        _ba_static(ba), state, phase0, steps, x, f, int(d), taps_clamp,
+        time_chunk=time_chunk, unroll=unroll,
+        trig_dtype=jnp.dtype(trig_dtype), out_dtype=jnp.dtype(out_dtype),
+        interpret=interpret,
+    )
+    new_phase0 = phase0 + steps * jnp.int32(x.shape[0])
+    return new_state, new_phase0, y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "f", "d", "clamp_static", "time_chunk",
+                     "unroll", "trig_dtype", "out_dtype", "interpret"),
+)
+def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
+                         clamp_static, *, time_chunk, unroll, trig_dtype,
+                         out_dtype, interpret):
+    t = x.shape[0]
+    c = phase0.shape[0]
+    c2 = 2 * c
+    assert c % 128 == 0 and t % d == 0 and unroll % 2 == 0
+    cs = c // 128
+    cs2 = 2 * cs
+
+    body = (
+        _iir_df1_body(ba_static, f)
+        if clamp_static is None
+        else _iir_df1_clamp_body(ba_static, f, *clamp_static)
+    )
+
+    vmem_cap = max(8, (10 * 2**20) // (20 * c2))
+    while (time_chunk > vmem_cap or t % time_chunk
+           or time_chunk % d or time_chunk % unroll):
+        time_chunk //= 2
+        assert time_chunk >= 8
+    tc = time_chunk
+    grid = (t // tc,)
+
+    def kernel(st_in_ref, caf_ref, saf_ref, cbf_ref, sbf_ref, xw_ref,
+               y_ref, out_state_ref, state_ref, miq_ref, yfull_ref):
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+
+        ca, sa = caf_ref[0], saf_ref[0]  # (cs, 128)
+        cb, sb = cbf_ref[...], sbf_ref[...]  # (tc, cs, 128)
+        lo_re = ca[None] * cb - sa[None] * sb
+        lo_im = sa[None] * cb + ca[None] * sb
+        xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
+        mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
+        mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
+        miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
+
+        def step(j, packed):
+            carry = tuple(packed[rr] for rr in range(4))
+            for u in range(unroll):
+                i = j * unroll + u
+                carry, y0 = body(carry, miq_ref[i])
+                yfull_ref[i] = y0.astype(out_dtype)
+            return jnp.stack(carry)
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        y_ref[...] = yfull_ref[...].reshape(tc // d, d, cs2, 128)[:, 0]
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs2, 128)
+    ca, sa, cb, sb = _fastlo.fastlo_tables(
+        phase0, steps, t, tc, trig_dtype=trig_dtype
+    )
+    xw = (x.astype(jnp.float32)
+          * jnp.float32(_fastlo.AMPLITUDE))[:, None, None]
+    xw = jnp.broadcast_to(xw, (t, 1, 128))
+
+    def fixed(rr, ncs=cs2):
+        return pl.BlockSpec(
+            (rr, ncs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def walk(rr, ncs):
+        return pl.BlockSpec(
+            (rr, ncs, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    ys, st_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed(4),
+            walk(1, cs), walk(1, cs),
+            fixed(tc, cs), fixed(tc, cs),
+            walk(tc, 1),
+        ],
+        out_specs=[walk(tc // d, cs2), fixed(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((t // d, cs2, 128), out_dtype),
+            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, cs2, 128), jnp.int32),
+            pltpu.VMEM((tc, cs2, 128), jnp.int32),
+            pltpu.VMEM((tc, cs2, 128), out_dtype),
+        ],
+        interpret=interpret,
+    )(st_in, ca.reshape(t // tc, cs, 128), sa.reshape(t // tc, cs, 128),
+      cb.reshape(tc, cs, 128), sb.reshape(tc, cs, 128), xw)
+
+    st_out = st_out.reshape(4, c2)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t // d, c2)
+
+
 def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,
                             f: int = 29, *, clamp=None, taps=None,
                             depth: int = None, time_chunk: int = 128,

@@ -110,26 +110,37 @@ def ddc_bank_block_biquad(
     # Mosaic's in-kernel select chain costs ~1.7x XLA's even with the
     # sub-chunked mix (scripts/tpu_fused_sub_probe.py vs
     # tpu_split_probe.py: 2.6 ms vs 3.2 ms for the mix+DF1 front end).
-    from ..filters.biquad_pallas import df1_bank_q_dec
+    if lo_mode == "fast_fused":
+        # the whole front end (fast-LO mix + DF1 + decimate) in ONE
+        # kernel — the full-rate mixed stream never touches HBM
+        from ..filters.ddc_pallas import fastlo_df1_dec_bank
 
-    if lo_mode == "fast":
-        from ..ops.fastlo import fastlo_mix
-
-        miq = fastlo_mix(x, state.nco_phase, nco_steps, min(128, t))
+        bq_state, _ph, yiq_d = fastlo_df1_dec_bank(
+            ba_q, state.bq, state.nco_phase, nco_steps, x, f,
+            d=decimate, interpret=interpret,
+        )
     else:
-        phases = accu.ramp_t(state.nco_phase, nco_steps, t)
-        lo_re, lo_im = cossin(phases)
-        xi = x[:, None]
-        mi = fxp.q_apply(lo_re, xi, 32)
-        mq = fxp.q_apply(-lo_im, xi, 32)
-        miq = jnp.concatenate([mi, mq], axis=1)
-    # keep-1-in-d decimation in the kernel epilogue: cuts the kernel's
-    # output HBM traffic by d and replaces the separate reshape+slice
-    # pass (a bare `yiq[::d]` would lower to a while-loop gather on TPU
-    # anyway — profiled at ~11 ms/block at (65536, 2048)).
-    bq_state, yiq_d = df1_bank_q_dec(
-        ba_q, state.bq, miq, f, d=decimate, interpret=interpret
-    )
+        from ..filters.biquad_pallas import df1_bank_q_dec
+
+        if lo_mode == "fast":
+            from ..ops.fastlo import fastlo_mix
+
+            miq = fastlo_mix(x, state.nco_phase, nco_steps, min(128, t))
+        else:
+            phases = accu.ramp_t(state.nco_phase, nco_steps, t)
+            lo_re, lo_im = cossin(phases)
+            xi = x[:, None]
+            mi = fxp.q_apply(lo_re, xi, 32)
+            mq = fxp.q_apply(-lo_im, xi, 32)
+            miq = jnp.concatenate([mi, mq], axis=1)
+        # keep-1-in-d decimation in the kernel epilogue: cuts the
+        # kernel's output HBM traffic by d and replaces the separate
+        # reshape+slice pass (a bare `yiq[::d]` would lower to a
+        # while-loop gather on TPU anyway — profiled at ~11 ms/block
+        # at (65536, 2048)).
+        bq_state, yiq_d = df1_bank_q_dec(
+            ba_q, state.bq, miq, f, d=decimate, interpret=interpret
+        )
     yi_d = yiq_d[:, :c]
     yq_d = yiq_d[:, c:]
 

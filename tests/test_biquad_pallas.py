@@ -1105,3 +1105,51 @@ def test_pallas_lowpass_bank_dec_bitexact():
         np.testing.assert_array_equal(np.asarray(ys)[::d], np.asarray(yd))
         np.testing.assert_array_equal(np.asarray(st_a.p),
                                       np.asarray(st_b.p))
+
+
+def test_pallas_fastlo_df1_dec_bank():
+    # one-kernel DDC-bank front end vs the split fast path: x-state
+    # within the f32 mix rounding bound, decimated outputs rms-gated
+    # (FMA contraction differs across the two graphs — see the fast-LO
+    # cascade test).
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q_dec
+    from idsp_tpu.filters.ddc_pallas import fastlo_df1_dec_bank
+    from idsp_tpu.ops.fastlo import fastlo_mix
+
+    c, t, d, tc = 128, 512, 16, 128
+    c2 = 2 * c
+    rng = np.random.default_rng(42)
+    ba_q = _ba_q(0.02)
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+        .astype(np.int32)
+    )
+
+    miq = fastlo_mix(x, phase0, steps, tc)
+    st_a = biquad.df1_init((c2,), jnp.int32)
+    st_a, yd_a = df1_bank_q_dec(ba_q, st_a, miq, 29, d=d, time_chunk=tc,
+                                interpret=True)
+
+    st_b = biquad.df1_init((c2,), jnp.int32)
+    st_b, ph_b, yd_b = fastlo_df1_dec_bank(
+        ba_q, st_b, phase0, steps, x, 29, d=d, time_chunk=tc,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(phase0 + steps * jnp.int32(t)), np.asarray(ph_b)
+    )
+    dx = np.asarray(st_a.x, np.int64) - np.asarray(st_b.x, np.int64)
+    assert np.abs(dx).max() <= 32, np.abs(dx).max()
+    ya = np.asarray(yd_a, np.float64)
+    yb = np.asarray(yd_b, np.float64)
+    rms_sig = np.sqrt((ya**2).mean()) + 1.0
+    rms_d = np.sqrt(((ya - yb) ** 2).mean())
+    assert rms_d < 1e-5 * rms_sig, (rms_d, rms_sig)

@@ -221,3 +221,61 @@ def test_ddc_bank_fast_lo_acquires_offsets():
     err = (freq - want + 2**31) % 2**32 - 2**31
     assert np.median(np.abs(err)) < 1 << 16, err
     assert np.abs(err).max() < (1 << 31) * 1e-4, err
+
+
+def test_ddc_bank_biquad_fast_fused_tracks_exact():
+    # The one-kernel biquad front end (lo_mode="fast_fused") must drive
+    # the PLL bank to the SAME operating point as the exact-LO path:
+    # per-channel recovered frequencies agree to LSB-scale (the fast
+    # mix differs by ~8-LSB f32 rounding).  Absolute lock quality is
+    # the exact path's property (test_ddc_bank_acquires_offsets); here
+    # we gate tracking equivalence plus a loose absolute bound.
+    c = 128
+    rng = np.random.default_rng(2)
+    grid = 1 << 26
+    # 16 real tones on the grid; the other 112 DDC channels tune to
+    # empty spectrum (c must be a multiple of 128 for the kernel).
+    tone_steps = ((np.arange(16) + 8) * grid).astype(np.int64).astype(
+        np.int32
+    )
+    offsets16 = rng.integers(-(1 << 16), 1 << 16, size=16,
+                             dtype=np.int64).astype(np.int32)
+    steps = np.zeros(c, np.int32)
+    steps[:16] = tone_steps
+    steps[16:] = (
+        ((np.arange(112) + 40) * grid) & 0xFFFFFFFF
+    ).astype(np.int64).astype(np.int32)
+    n = 1 << 15
+    decim = 16
+    x = ddc_bank.make_tone_bank(tone_steps, n, amplitude=1 << 26,
+                                offsets=offsets16)
+    from idsp_tpu.design import Filter
+    from idsp_tpu.filters import biquad
+
+    ba_q = tuple(
+        int(v)
+        for v in biquad.quantize_ba(
+            biquad.from_cookbook(
+                Filter().critical_frequency(0.001).lowpass()
+            ),
+            29,
+        )
+    )
+    pll_ba = tuple(
+        int(v) for v in pll.coefficients_from_bandwidth(2e-2, 4.0)
+    )
+
+    freqs = {}
+    for mode in ("exact", "fast_fused"):
+        st = ddc_bank.init_biquad(c)
+        st, out = ddc_bank.ddc_bank_block_biquad(
+            st, x, jnp.asarray(steps), ba_q, pll_ba, decimate=decim,
+            lo_mode=mode, interpret=True,
+        )
+        freqs[mode] = np.asarray(out[-1]).astype(np.int64)[:16]
+
+    want = -(offsets16.astype(np.int64) * decim)
+    err = (freqs["fast_fused"] - want + 2**31) % 2**32 - 2**31
+    assert np.median(np.abs(err)) < 1 << 18, err  # loose absolute lock
+    d = (freqs["fast_fused"] - freqs["exact"] + 2**31) % 2**32 - 2**31
+    assert np.median(np.abs(d)) < 1 << 12, d  # tracks the exact path
