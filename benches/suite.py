@@ -695,6 +695,13 @@ def main(argv=None):
         jax.jit(lambda st, x: chz.channelize(st, x, m=m_ch, taps=8)),
         chz.init(m_ch, 8), x_fr, samples=n_fr * m_ch,
     )
+    run_trials(
+        "channelizer m=1024 (fft)",
+        jax.jit(
+            lambda st, x: chz.channelize(st, x, m=m_ch, taps=8, dft="fft")
+        ),
+        chz.init(m_ch, 8), x_fr, samples=n_fr * m_ch,
+    )
 
     # ---- 1024-channel DDC bank with per-channel PLL (BASELINE #5) ----
     from idsp_tpu.pipelines import ddc_bank
@@ -841,6 +848,7 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "ddc lockin bank (f32 assoc)": "ddc_lockin.rs example",
         "channelizer m=1024 (mxu dft)":
             "polyphase_channelizer.rs scaled to M=1024",
+        "channelizer m=1024 (fft)": "same (O(M log M) DFT)",
         "ddc bank 1024ch (lowpass2+pll)": "BASELINE #5 wideband bank",
         "ddc bank 1024ch (biquad+pll)": "BASELINE #5 (biquad variant)",
         "ddc bank 1024ch (biquad+pll, fastlo)":

@@ -54,12 +54,19 @@ def _dft_matrix(m: int) -> np.ndarray:
     return w.astype(np.complex64)
 
 
-def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8):
+def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8,
+               dft: str = "matmul"):
     """Process (..., n_frames, m, 2) input frames (polyphase FIR + DFT).
 
     The frame-major input is the reference's `View::from_frames` layout
     (polyphase_channelizer.rs:103-119).  Returns (state, y) with y of
     the same shape: per frame, M channel IQ pairs.
+
+    ``dft``: "matmul" (real-plane MXU matmuls — exact control of
+    summation order, matches `channelize_tp`) or "fft" (jnp.fft along
+    the branch axis — O(M log M), the right choice for large M; same
+    negative-exponent convention, differs from matmul only by f32
+    summation order).
     """
     if proto is None:
         proto = prototype(m, taps)
@@ -74,6 +81,12 @@ def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8):
         term = sl * coeff[tap][:, None]
         acc = term if acc is None else acc + term
     new_hist = jax.lax.slice_in_dim(ext, n, taps - 1 + n, axis=-3)
+
+    if dft == "fft":
+        z = acc[..., 0] + 1j * acc[..., 1]
+        zf = jnp.fft.fft(z.astype(jnp.complex64), axis=-1)
+        y = jnp.stack([zf.real, zf.imag], axis=-1).astype(jnp.float32)
+        return BankState(hist=new_hist), y
 
     # DFT across the channel axis: y[m] = sum_k x[k] e^{-2pi i k m / M},
     # as four REAL (n, m) x (m, m) matmuls — the MXU-native form (XLA's

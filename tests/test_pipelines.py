@@ -51,3 +51,27 @@ def test_channelizer_wideband_1024():
     assert int(np.argmax(p)) == 100
     others = np.delete(p, 100)
     assert p[100] > 1e4 * others.max()
+
+
+def test_channelizer_fft_matches_matmul():
+    # fft DFT option == matmul DFT up to f32 summation order; the
+    # channel-isolation acceptance gate holds on both.
+    import numpy as np
+    import jax.numpy as jnp
+    from idsp_tpu.pipelines import channelizer as chz
+
+    m, taps, n = 64, 8, 512
+    x = chz.frames_from_stream(chz.tone(5.0 / m, n * m), m)
+    st = chz.init(m, taps)
+    _, y_mm = chz.channelize(st, x, m=m, taps=taps)
+    _, y_ff = chz.channelize(st, x, m=m, taps=taps, dft="fft")
+    a = np.asarray(y_mm, np.float64)
+    b = np.asarray(y_ff, np.float64)
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 1e-5 * scale
+    # isolation gate on the fft path (>= 10x, the reference threshold)
+    p = (b[128:] ** 2).sum(axis=-1).mean(axis=0)
+    k = int(np.argmax(p))
+    assert k == 5
+    others = np.delete(p, k)
+    assert p[k] >= 10.0 * others.max()
