@@ -645,7 +645,7 @@ def _df1_clamp_hbf_cascade_impl(ba_static, taps_static, state, tails, xs,
 def fastlo_df1_dec_bank(ba, state: Df1State, phase0, steps, x,
                         f: int = 29, *, d: int = 16, clamp=None,
                         time_chunk: int = 128, unroll: int = 4,
-                        trig_dtype=jnp.float64, out_dtype=jnp.int32,
+                        trig_dtype=jnp.float32, out_dtype=jnp.int32,
                         interpret: bool = False):
     """DDC-bank front end in ONE kernel: in-kernel fast-LO conjugate
     mix + DF1 biquad bank + keep-1-in-d decimation epilogue.
@@ -794,7 +794,7 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
 def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,
                             f: int = 29, *, clamp=None, taps=None,
                             depth: int = None, time_chunk: int = 128,
-                            unroll: int = 4, trig_dtype=jnp.float64,
+                            unroll: int = 4, trig_dtype=jnp.float32,
                             interpret: bool = False):
     """The ENTIRE headline DDC chain in one kernel: in-kernel fast-LO
     conjugate mix (coarse/fine factored tables, ops/fastlo.py) + DF1

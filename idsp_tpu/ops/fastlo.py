@@ -16,11 +16,12 @@ write ``n = a*k + b`` with ``b in [1, k]``:
 
 with ``w = 2*pi/2^32``.  Only ``t/k + k`` trig evaluations per channel
 remain (vs ``t``); at t=32768, k=128 that is a 90x reduction.  The
-factor tables are tiny ((t/k, c) and (k, c)) and are evaluated with
-float64 trig (exact wrapping int32 phase arithmetic first), so each
-factor is accurate to ~1e-16 rad; the only error left is the float32
-rounding of the per-sample complex multiply (~6e-8, -144 dBc) — *below*
-the exact LUT path's 4e-6 RMS interpolation error.  The fast LO is
+factor tables are tiny ((t/k, c) and (k, c)) and are evaluated from
+exact wrapping int32 phase arithmetic with f32 trig by default (~2e-7
+rad per factor; `trig_dtype=jnp.float64` reaches ~1e-16 but f64 trig
+is emulated on TPU), plus the f32 rounding of the per-sample complex
+multiply — both far *below* the exact LUT path's 4e-6 RMS
+interpolation error.  The fast LO is
 therefore gated by the reference's spectral acceptance suite (SFDR >
 118 dB, SNR > 106 dB, spur < -120.4 dBc, src/cossin.rs:199-247) rather
 than bit-exactness, and passes with >20 dB margin
@@ -62,7 +63,7 @@ def _angle_trig(phase_i32, trig_dtype):
 
 
 def fastlo_tables(phase0, steps, t: int, k: int, *,
-                  trig_dtype=jnp.float64):
+                  trig_dtype=jnp.float32):
     """Coarse/fine factor tables for the ramp ``phase0 + steps*n``.
 
     Args:
@@ -73,8 +74,9 @@ def fastlo_tables(phase0, steps, t: int, k: int, *,
       t: total samples (t % k == 0).
       k: fine-table length (pick = the kernel time chunk).
       trig_dtype: dtype for the trig evaluation of the tiny tables
-        (float64 default; float32 costs ~2e-7 rad and still passes the
-        gates with margin).
+        (float32 default, ~2e-7 rad, passes every reference gate with
+        margin and avoids emulated f64 trig on TPU; float64 available
+        for reference-quality tables).
 
     Returns (ca, sa, cb, sb): coarse (t//k, c) and fine (k, c) float32
     unit-amplitude factor planes; ``lo[a*k + b] = (ca+j*sa)[a] *
@@ -93,7 +95,7 @@ def fastlo_tables(phase0, steps, t: int, k: int, *,
 
 
 def fastlo_iq(phase0, steps, t: int, k: int = 128, *,
-              trig_dtype=jnp.float64):
+              trig_dtype=jnp.float32):
     """Full-rate fast LO planes (lo_re, lo_im) (t, c) f32, unit
     amplitude — the factored equivalent of
     ``cossin(phase0 + steps*arange(1, t+1)) / 2^31``."""
@@ -106,7 +108,7 @@ def fastlo_iq(phase0, steps, t: int, k: int = 128, *,
 
 
 def fastlo_mix(x, phase0, steps, k: int = 128, *,
-               trig_dtype=jnp.float64, amplitude: float = AMPLITUDE):
+               trig_dtype=jnp.float32, amplitude: float = AMPLITUDE):
     """Fast-path conjugate NCO mix: ``miq`` (t, 2c) i32.
 
     Drop-in for the exact mix

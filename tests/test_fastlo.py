@@ -28,7 +28,8 @@ def test_fastlo_matches_ideal_ramp():
     t, k = 1 << 14, 128
     phase0 = jnp.asarray([12345], jnp.int32)
     steps = jnp.asarray([0x2468ACE1], jnp.int32)
-    lo_re, lo_im = fastlo.fastlo_iq(phase0, steps, t, k)
+    lo_re, lo_im = fastlo.fastlo_iq(phase0, steps, t, k,
+                                    trig_dtype=jnp.float64)
     want_c, want_s = _ramp_lo_ideal(12345, 0x2468ACE1, t)
     err_c = np.asarray(lo_re[:, 0], np.float64) - want_c
     err_s = np.asarray(lo_im[:, 0], np.float64) - want_s
