@@ -56,8 +56,6 @@ def test_channelizer_wideband_1024():
 def test_channelizer_fft_matches_matmul():
     # fft DFT option == matmul DFT up to f32 summation order; the
     # channel-isolation acceptance gate holds on both.
-    import numpy as np
-    import jax.numpy as jnp
     from idsp_tpu.pipelines import channelizer as chz
 
     m, taps, n = 64, 8, 512
