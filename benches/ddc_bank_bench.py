@@ -100,6 +100,20 @@ def main(argv=None):
         ),
         ddc_bank.init_biquad(c),
     )
+    bench(
+        "ddc bank (biquad + PLL, fast LO)",
+        lambda s: ddc_bank.ddc_bank_block_biquad(
+            s, x, steps, ba_q, pll_ba, decimate=d, lo_mode="fast"
+        ),
+        ddc_bank.init_biquad(c),
+    )
+    bench(
+        "ddc bank (biquad + PLL, 1-kernel front end)",
+        lambda s: ddc_bank.ddc_bank_block_biquad(
+            s, x, steps, ba_q, pll_ba, decimate=d, lo_mode="fast_fused"
+        ),
+        ddc_bank.init_biquad(c),
+    )
 
 
 if __name__ == "__main__":
