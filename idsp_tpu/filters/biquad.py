@@ -323,42 +323,12 @@ def df1_dither_clamp_step(ba, f: int, state: Df1DitherState, x0, u, lo, hi):
 # --- Q64 (i64 storage, emulated i128 accumulator) ---------------------------
 
 
-def _mul_i64_i64_hi_lo(a, x):
-    """Exact 128-bit product of i64 values as (hi i64, lo u64).
-
-    XLA has no i128; 32-bit limb products with explicit carries, the
-    64-bit analog of the Pallas kernel's 16-bit limb MAC."""
-    a = jnp.asarray(a, jnp.int64)
-    x = jnp.asarray(x, jnp.int64)
-    ah = a >> 32
-    al = (a & 0xFFFFFFFF).astype(jnp.uint64)
-    xh = x >> 32
-    xl = (x & 0xFFFFFFFF).astype(jnp.uint64)
-
-    ll = al * xl  # < 2^64, exact in u64
-    lh = al.astype(jnp.int64) * xh  # |.| < 2^63, exact in i64
-    hl = ah * xl.astype(jnp.int64)
-    hh = ah * xh  # |.| < 2^62
-
-    hi = hh
-    lo = ll
-    for m in (lh, hl):
-        new_lo = lo + (m.astype(jnp.uint64) << 32)
-        hi = hi + (m >> 32) + (new_lo < lo).astype(jnp.int64)
-        lo = new_lo
-    return hi, lo
-
-
-def _add_i128(a, b):
-    ahi, alo = a
-    bhi, blo = b
-    lo = alo + blo
-    return ahi + bhi + (lo < alo).astype(jnp.int64), lo
-
-
-def _shr_i128_to_i64(hi, lo, f: int):
-    """Low 64 bits of the arithmetic ``(hi:lo) >> f`` for 0 < f < 64."""
-    return (hi << (64 - f)) | (lo >> f).astype(jnp.int64)
+# The 128-bit limb helpers live in fxp (one authoritative
+# implementation; a second copy here once diverged-by-construction —
+# the Q64 bit-exactness convention depends on every path sharing it).
+_mul_i64_i64_hi_lo = fxp._mul_i64_wide
+_add_i128 = fxp.i128_add
+_shr_i128_to_i64 = fxp._shr_i128_to_i64
 
 
 def df1_step_q64(ba, f: int, state: Df1State, x0):

@@ -332,6 +332,32 @@ def _df1_bank_q_dec_impl(ba_static, state: Df1State, xs, f: int, d: int, *,
 # budget boilerplate; kernels only provide the per-chunk body.
 
 
+def _pick_time_chunk(t: int, cap: int, unroll: int, dec: int,
+                     requested: int) -> int:
+    """Largest time chunk <= min(requested, cap) that divides ``t`` and
+    is a multiple of both ``unroll`` and ``dec``.
+
+    Non-power-of-two decimation factors (e.g. dec=12) have no
+    power-of-two chunk multiple, so a halving clamp cannot find one —
+    enumerate multiples of lcm(unroll, dec) instead.
+    """
+    import math
+
+    base = math.lcm(max(unroll, 1), max(dec, 1))
+    limit = min(t, max(cap, base), max(requested, base))
+    best = 0
+    k = base
+    while k <= limit:
+        if t % k == 0:
+            best = k
+        k += base
+    assert best > 0, (
+        f"no time chunk <= {limit} divides t={t} and is a multiple of "
+        f"unroll={unroll} and dec={dec}"
+    )
+    return best
+
+
 def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
                out_dtype=None, donate=True):
     """Run a sequential time-loop bank kernel.
@@ -357,14 +383,7 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
     unroll = getattr(kernel, "_unroll", 1)
     dec = getattr(kernel, "_dec", 1)
     vmem_cap = max(8, (12 * 2**20) // (16 * c))
-    while (time_chunk > vmem_cap or t % time_chunk
-           or time_chunk % unroll or time_chunk % dec):
-        time_chunk //= 2
-        assert time_chunk >= 8, (
-            "cannot find a VMEM-fitting time chunk divisible by "
-            f"unroll={unroll} and dec={dec} for t={t}"
-        )
-    assert time_chunk >= 8 and time_chunk % unroll == 0
+    time_chunk = _pick_time_chunk(t, vmem_cap, unroll, dec, time_chunk)
     grid = (t // time_chunk,)
 
     def fixed(r):

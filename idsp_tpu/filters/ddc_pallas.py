@@ -333,12 +333,14 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
     nts = [ln + me for ln, me in zip(lns, mes)]
     assert len(tails) == depth
 
-    vmem_cap = max(8, (10 * 2**20) // (18 * c2))
-    while time_chunk > vmem_cap:
-        time_chunk //= 2
-    while t % time_chunk or time_chunk % r or time_chunk % unroll:
-        time_chunk //= 2
-    assert time_chunk >= r and time_chunk >= 8 and time_chunk % unroll == 0
+    # VMEM model: ~18 B per sample-channel for the parity/tail scratch
+    # family; the fastlo variant adds the (tc, cs2) i32 mix scratch,
+    # the (tc, cs) fine tables and the f32 mix temporaries (~16 B more).
+    per_elem = 34 if fastlo_in is not None else 18
+    vmem_cap = max(8, (10 * 2**20) // (per_elem * c2))
+    from .biquad_pallas import _pick_time_chunk
+
+    time_chunk = _pick_time_chunk(t, vmem_cap, unroll, r, time_chunk)
     tc = time_chunk
     ns = [tc >> (d + 1) for d in range(depth)]  # stage output rows
     grid = (t // tc,)
@@ -692,11 +694,11 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
         else _iir_df1_clamp_body(ba_static, f, *clamp_static)
     )
 
-    vmem_cap = max(8, (10 * 2**20) // (20 * c2))
-    while (time_chunk > vmem_cap or t % time_chunk
-           or time_chunk % d or time_chunk % unroll):
-        time_chunk //= 2
-        assert time_chunk >= 8
+    # mix scratch + full-rate y scratch + fine tables + f32 temporaries
+    vmem_cap = max(8, (10 * 2**20) // (38 * c2))
+    from .biquad_pallas import _pick_time_chunk
+
+    time_chunk = _pick_time_chunk(t, vmem_cap, unroll, d, time_chunk)
     tc = time_chunk
     grid = (t // tc,)
 

@@ -49,8 +49,51 @@ def widen_dtype(dtype) -> jnp.dtype:
     return jnp.dtype(acc)
 
 
+class I128(tuple):
+    """An emulated 128-bit accumulator: ``(hi i64, lo u64)`` pair.
+
+    The int64 `mul_wide` returns this instead of a wider dtype (XLA has
+    no i128).  ``+`` performs the limb add with carry — a bare tuple
+    would silently CONCATENATE under the accumulate-then-quantize MAC
+    pattern every `mul_wide` call site uses.
+    """
+
+    __slots__ = ()
+
+    def __new__(cls, hi, lo):
+        return tuple.__new__(cls, (hi, lo))
+
+    @property
+    def hi(self):
+        return self[0]
+
+    @property
+    def lo(self):
+        return self[1]
+
+    def __add__(self, other):
+        return i128_add(self, other)
+
+    __radd__ = __add__
+
+
+def i128_add(a, b):
+    """Limb add of two (hi i64, lo u64) pairs (accepts 0 for sum())."""
+    if isinstance(b, int) and b == 0:
+        return I128(*a) if not isinstance(a, I128) else a
+    if isinstance(a, int) and a == 0:
+        return I128(*b) if not isinstance(b, I128) else b
+    ahi, alo = a
+    bhi, blo = b
+    lo = alo + blo
+    return I128(
+        ahi + bhi + (lo < alo).astype(jnp.int64), lo
+    )
+
+
 def _mul_i64_wide(a, b):
-    """Full signed 128-bit product of two i64 arrays as (hi i64, lo u64).
+    """Full signed 128-bit product of two i64 arrays as I128 (hi i64,
+    lo u64).
 
     32-bit limb decomposition of the unsigned product plus the two's-
     complement correction ``hi -= (a<0 ? b : 0) + (b<0 ? a : 0)`` — the
@@ -73,7 +116,7 @@ def _mul_i64_wide(a, b):
     hi = p11 + (p01 >> 32) + (p10 >> 32) + (mid >> 32)
     hi = hi - jnp.where(a < 0, bu, jnp.uint64(0))
     hi = hi - jnp.where(b < 0, au, jnp.uint64(0))
-    return hi.astype(jnp.int64), lo
+    return I128(hi.astype(jnp.int64), lo)
 
 
 def _shr_i128_to_i64(hi, lo, f: int):
@@ -167,7 +210,9 @@ def q_sum(x, axis=None):
 def mul_wide(a, b, *, dtype=jnp.int32):
     """Widening multiply without the quantizing shift (``Q::mul_wide``,
     lib.rs:302-313). Returns the accumulator-dtype product — for int64
-    a limb-emulated ``(hi i64, lo u64)`` pair (feed it to `quantize`)."""
+    an `I128` limb pair whose ``+`` is the carry-propagating 128-bit
+    add, so the usual accumulate-then-`quantize` MAC pattern works
+    unchanged."""
     if jnp.dtype(dtype) == jnp.dtype("int64"):
         return _mul_i64_wide(a, b)
     acc = widen_dtype(dtype)

@@ -21,6 +21,7 @@ via the carried state like any stage in `parallel.stream`.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple
 
@@ -125,7 +126,9 @@ def ddc_bank_block_biquad(
         if lo_mode == "fast":
             from ..ops.fastlo import fastlo_mix
 
-            miq = fastlo_mix(x, state.nco_phase, nco_steps, min(128, t))
+            # largest pow2 fine-table len dividing t
+            k = math.gcd(t, 128)
+            miq = fastlo_mix(x, state.nco_phase, nco_steps, k)
         else:
             phases = accu.ramp_t(state.nco_phase, nco_steps, t)
             lo_re, lo_im = cossin(phases)
@@ -199,7 +202,8 @@ def ddc_bank_block(
     if lo_mode == "fast":
         from ..ops.fastlo import fastlo_mix
 
-        miq = fastlo_mix(x, state.nco_phase, nco_steps, min(128, t))
+        k = math.gcd(t, 128)  # largest pow2 fine-table len dividing t
+        miq = fastlo_mix(x, state.nco_phase, nco_steps, k)
         mix_i, mix_q = miq[:, :c], miq[:, c:]
     else:
         # per-channel NCO (t, c), continuing from the carried phase

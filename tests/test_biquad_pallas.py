@@ -1153,3 +1153,25 @@ def test_pallas_fastlo_df1_dec_bank():
     rms_sig = np.sqrt((ya**2).mean()) + 1.0
     rms_d = np.sqrt(((ya - yb) ** 2).mean())
     assert rms_d < 1e-5 * rms_sig, (rms_d, rms_sig)
+
+
+def test_pallas_df1_bank_dec_non_pow2():
+    # dec=12 has no power-of-two chunk multiple; the chunk picker must
+    # enumerate lcm multiples instead of halving (review regression).
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q, df1_bank_q_dec
+
+    c, t, d = 128, 96 * 4, 12
+    rng = np.random.default_rng(43)
+    ba_q = _ba_q(0.05)
+    xs = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t, c),
+                     dtype=np.int64).astype(np.int32)
+    )
+    st_a = biquad.df1_init((c,), jnp.int32)
+    st_b = biquad.df1_init((c,), jnp.int32)
+    st_a, ys = df1_bank_q(ba_q, st_a, xs, 29, time_chunk=96,
+                          interpret=True)
+    st_b, yd = df1_bank_q_dec(ba_q, st_b, xs, 29, d=d, time_chunk=256,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(ys)[::d], np.asarray(yd))
+    np.testing.assert_array_equal(np.asarray(st_a.y), np.asarray(st_b.y))

@@ -144,3 +144,28 @@ def test_widen_dtype_int64_documented_rejection():
         0, dtype=jnp.int64,
     )
     assert int(out[0]) == -((7 << 10) // 3) - (1 if (7 << 10) % 3 else 0) + 1
+
+
+def test_mul_wide_i64_accumulate_quantize():
+    # The accumulate-then-quantize MAC pattern must work for int64:
+    # mul_wide returns an I128 whose `+` is the carry-propagating limb
+    # add (a bare tuple would silently concatenate).
+    a = jnp.asarray([0x7FFF_FFFF_FFFF_0001, -3], jnp.int64)
+    b = jnp.asarray([0x6EDC_BA98_7654_3210, 5], jnp.int64)
+    acc = fxp.mul_wide(a, b, dtype=jnp.int64) + fxp.mul_wide(
+        b, a, dtype=jnp.int64
+    )
+    got = np.asarray(fxp.quantize(acc, 61, dtype=jnp.int64))
+    for i in range(2):
+        p = 2 * int(a[i]) * int(b[i])
+        want = ((p >> 61) & ((1 << 64) - 1) ^ (1 << 63)) - (1 << 63)
+        assert int(got[i]) == want
+    # sum() over a list starts at 0 — the I128 __radd__ absorbs it
+    acc2 = sum(
+        [fxp.mul_wide(a, b, dtype=jnp.int64)] * 3
+    )
+    got2 = np.asarray(fxp.quantize(acc2, 61, dtype=jnp.int64))
+    for i in range(2):
+        p = 3 * int(a[i]) * int(b[i])
+        want = ((p >> 61) & ((1 << 64) - 1) ^ (1 << 63)) - (1 << 63)
+        assert int(got2[i]) == want

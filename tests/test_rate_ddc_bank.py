@@ -279,3 +279,21 @@ def test_ddc_bank_biquad_fast_fused_tracks_exact():
     assert np.median(np.abs(err)) < 1 << 18, err  # loose absolute lock
     d = (freqs["fast_fused"] - freqs["exact"] + 2**31) % 2**32 - 2**31
     assert np.median(np.abs(d)) < 1 << 12, d  # tracks the exact path
+
+
+def test_ddc_bank_fast_lo_non_pow2_block():
+    # t=192 is a legal block (multiple of decimate) but not of 128; the
+    # fast-LO fine-table length must divide t (review regression).
+    c = 16
+    steps = ((np.arange(c) + 8) * (1 << 26)).astype(np.int64).astype(
+        np.int32
+    )
+    x = ddc_bank.make_tone_bank(steps, 192, amplitude=1 << 26)
+    st = ddc_bank.init(c)
+    lp_gains = tuple(int(v) for v in lowpass.gains2(0.001))
+    pll_ba = tuple(int(v) for v in pll.coefficients_from_bandwidth(2e-2, 4.0))
+    st, out = ddc_bank.ddc_bank_block(
+        st, x, jnp.asarray(steps), lp_gains, pll_ba, decimate=16,
+        lo_mode="fast",
+    )
+    assert out[0].shape == (12, c)
