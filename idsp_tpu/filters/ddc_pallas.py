@@ -282,6 +282,19 @@ def _iir_df1_clamp_body(ba_static, f, u, lo, hi):
     return body
 
 
+def _x_rows_from_lanes(xl, tc: int):
+    """(tc//128, 128) row-major packed x -> (tc, 128) with every lane of
+    row i holding x[i], via per-group 128x128 broadcast + transpose.
+
+    Streams the scalar input at 4 B/sample instead of the 512 B/sample
+    a (t, 1, 128) lane-replicated operand costs (x_layout="lanes")."""
+    groups = []
+    for g in range(tc // 128):
+        m = jnp.broadcast_to(xl[g][None, :], (128, 128))
+        groups.append(m.T)
+    return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+
+
 def _fir_even(odd_s, even_s, ln, nn, taps):
     """Vectorized half-band FIR over a chunk: symmetric odd-sample taps
     (small-to-large, same op order as hbf.symmetric_fir) + even-sample
@@ -296,7 +309,8 @@ def _fir_even(odd_s, even_s, ln, nn, taps):
 
 
 def _run_fused_cascade(body, taps_static, state, tails, xs, *,
-                       time_chunk, unroll, interpret, fastlo_in=None):
+                       time_chunk, unroll, interpret, fastlo_in=None,
+                       x_layout="replicate"):
     """Composer: sequential IIR bank + fused half-band cascade.
 
     Args:
@@ -378,7 +392,11 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
             cb, sb = cbf_ref[...], sbf_ref[...]  # (tc, cs, 128)
             lo_re = ca[None] * cb - sa[None] * sb
             lo_im = sa[None] * cb + ca[None] * sb
-            xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
+            if x_layout == "lanes":
+                xt = _x_rows_from_lanes(xw_ref, tc)  # (tc, 128)
+                xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
+            else:
+                xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
             mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
             mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
             src_ref[...] = jnp.concatenate([mi, mq], axis=1)
@@ -447,9 +465,20 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
         ca, sa, cb, sb = _fastlo.fastlo_tables(
             phase0, steps, t, tc, trig_dtype=trig_dtype
         )
-        xw = (x.astype(jnp.float32)
-              * jnp.float32(_fastlo.AMPLITUDE))[:, None, None]
-        xw = jnp.broadcast_to(xw, (t, 1, 128))
+        xh = x.astype(jnp.float32) * jnp.float32(_fastlo.AMPLITUDE)
+        if x_layout == "lanes":
+            assert tc % 128 == 0 and t % 128 == 0
+            xw = xh.reshape(t // 128, 128)
+            x_spec = pl.BlockSpec(
+                (tc // 128, 128), lambda i: (i, i * 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            xw = jnp.broadcast_to(xh[:, None, None], (t, 1, 128))
+            x_spec = pl.BlockSpec(
+                (tc, 1, 128), lambda i: (i, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            )
         mix_in = [
             ca.reshape(t // tc, cs, 128), sa.reshape(t // tc, cs, 128),
             cb.reshape(tc, cs, 128), sb.reshape(tc, cs, 128), xw,
@@ -460,8 +489,7 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
             pl.BlockSpec((1, cs, 128), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
             fixed(tc, cs), fixed(tc, cs),
-            pl.BlockSpec((tc, 1, 128), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
         ]
         mix_scratch = [pltpu.VMEM((tc, cs2, 128), jnp.int32)]
     else:
@@ -648,6 +676,7 @@ def fastlo_df1_dec_bank(ba, state: Df1State, phase0, steps, x,
                         f: int = 29, *, d: int = 16, clamp=None,
                         time_chunk: int = 128, unroll: int = 4,
                         trig_dtype=jnp.float32, out_dtype=jnp.int32,
+                        x_layout: str = "replicate",
                         interpret: bool = False):
     """DDC-bank front end in ONE kernel: in-kernel fast-LO conjugate
     mix + DF1 biquad bank + keep-1-in-d decimation epilogue.
@@ -667,7 +696,7 @@ def fastlo_df1_dec_bank(ba, state: Df1State, phase0, steps, x,
         _ba_static(ba), state, phase0, steps, x, f, int(d), taps_clamp,
         time_chunk=time_chunk, unroll=unroll,
         trig_dtype=jnp.dtype(trig_dtype), out_dtype=jnp.dtype(out_dtype),
-        interpret=interpret,
+        x_layout=x_layout, interpret=interpret,
     )
     new_phase0 = phase0 + steps * jnp.int32(x.shape[0])
     return new_state, new_phase0, y
@@ -676,11 +705,12 @@ def fastlo_df1_dec_bank(ba, state: Df1State, phase0, steps, x,
 @functools.partial(
     jax.jit,
     static_argnames=("ba_static", "f", "d", "clamp_static", "time_chunk",
-                     "unroll", "trig_dtype", "out_dtype", "interpret"),
+                     "unroll", "trig_dtype", "out_dtype", "x_layout",
+                     "interpret"),
 )
 def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
                          clamp_static, *, time_chunk, unroll, trig_dtype,
-                         out_dtype, interpret):
+                         out_dtype, x_layout, interpret):
     t = x.shape[0]
     c = phase0.shape[0]
     c2 = 2 * c
@@ -715,7 +745,11 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
         cb, sb = cbf_ref[...], sbf_ref[...]  # (tc, cs, 128)
         lo_re = ca[None] * cb - sa[None] * sb
         lo_im = sa[None] * cb + ca[None] * sb
-        xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
+        if x_layout == "lanes":
+            xt = _x_rows_from_lanes(xw_ref, tc)  # (tc, 128)
+            xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
+        else:
+            xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
         mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
         mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
         miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
@@ -746,9 +780,20 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
     ca, sa, cb, sb = _fastlo.fastlo_tables(
         phase0, steps, t, tc, trig_dtype=trig_dtype
     )
-    xw = (x.astype(jnp.float32)
-          * jnp.float32(_fastlo.AMPLITUDE))[:, None, None]
-    xw = jnp.broadcast_to(xw, (t, 1, 128))
+    xh = x.astype(jnp.float32) * jnp.float32(_fastlo.AMPLITUDE)
+    if x_layout == "lanes":
+        assert tc % 128 == 0 and t % 128 == 0
+        xw = xh.reshape(t // 128, 128)
+        x_spec = pl.BlockSpec(
+            (tc // 128, 128), lambda i: (i, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        xw = jnp.broadcast_to(xh[:, None, None], (t, 1, 128))
+        x_spec = pl.BlockSpec(
+            (tc, 1, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
 
     def fixed(rr, ncs=cs2):
         return pl.BlockSpec(
@@ -769,7 +814,7 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
             fixed(4),
             walk(1, cs), walk(1, cs),
             fixed(tc, cs), fixed(tc, cs),
-            walk(tc, 1),
+            x_spec,
         ],
         out_specs=[walk(tc // d, cs2), fixed(4)],
         out_shape=[
@@ -797,6 +842,7 @@ def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,
                             f: int = 29, *, clamp=None, taps=None,
                             depth: int = None, time_chunk: int = 128,
                             unroll: int = 4, trig_dtype=jnp.float32,
+                            x_layout: str = "replicate",
                             interpret: bool = False):
     """The ENTIRE headline DDC chain in one kernel: in-kernel fast-LO
     conjugate mix (coarse/fine factored tables, ops/fastlo.py) + DF1
@@ -822,7 +868,8 @@ def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,
         _ba_static(ba), _taps_static(taps), state, tuple(tails),
         phase0, steps, x, f, clamp_static,
         time_chunk=time_chunk, unroll=unroll,
-        trig_dtype=jnp.dtype(trig_dtype), interpret=interpret,
+        trig_dtype=jnp.dtype(trig_dtype), x_layout=x_layout,
+        interpret=interpret,
     )
     new_phase0 = phase0 + steps * jnp.int32(x.shape[0])
     return new_state, t_outs, new_phase0, y
@@ -831,11 +878,12 @@ def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,
 @functools.partial(
     jax.jit,
     static_argnames=("ba_static", "taps_static", "f", "clamp_static",
-                     "time_chunk", "unroll", "trig_dtype", "interpret"),
+                     "time_chunk", "unroll", "trig_dtype", "x_layout",
+                     "interpret"),
 )
 def _fastlo_ddc_cascade_impl(ba_static, taps_static, state, tails, phase0,
                              steps, x, f, clamp_static, *, time_chunk,
-                             unroll, trig_dtype, interpret):
+                             unroll, trig_dtype, x_layout, interpret):
     body = (
         _iir_df1_body(ba_static, f)
         if clamp_static is None
@@ -844,5 +892,5 @@ def _fastlo_ddc_cascade_impl(ba_static, taps_static, state, tails, phase0,
     return _run_fused_cascade(
         body, taps_static, state, tails, None,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
-        fastlo_in=(x, phase0, steps, trig_dtype),
+        fastlo_in=(x, phase0, steps, trig_dtype), x_layout=x_layout,
     )

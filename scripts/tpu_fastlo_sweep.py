@@ -50,12 +50,14 @@ def main():
 
     for tc in (64, 128, 256):
         for unroll in (2, 4, 8):
+          for layout in (("replicate", "lanes") if tc % 128 == 0
+                         else ("replicate",)):
             try:
                 def run(st, xx):
                     bq, tails, ph = st
                     bq, tails, ph, y8 = fastlo_ddc_cascade_bank(
                         ba_q, bq, tails, ph, steps, xx, 29, taps=taps3,
-                        time_chunk=tc, unroll=unroll,
+                        time_chunk=tc, unroll=unroll, x_layout=layout,
                     )
                     return (bq, tails, ph), y8
 
@@ -83,10 +85,11 @@ def main():
                     if dt > 0:
                         best = min(best, dt)
                 rate = c * t / best
-                print(f"tc={tc:4d} unroll={unroll}  {best * 1e3:7.3f} ms"
-                      f"  {rate / 1e9:6.2f} GS/s", flush=True)
+                print(f"tc={tc:4d} unroll={unroll} x={layout:9s}"
+                      f"  {best * 1e3:7.3f} ms  {rate / 1e9:6.2f} GS/s",
+                      flush=True)
             except Exception as e:  # noqa: BLE001
-                print(f"tc={tc:4d} unroll={unroll}  FAILED:"
+                print(f"tc={tc:4d} unroll={unroll} x={layout:9s}  FAILED:"
                       f" {str(e)[:120]}", flush=True)
 
 

@@ -358,6 +358,25 @@ def main():
           f"{'OK' if oky else 'MISMATCH'} (rms_d/rms_s={rms_d / rms_s:.2e})",
           flush=True)
 
+    # lanes x-layout (4 B/sample input streaming via in-kernel
+    # transpose) must be bit-identical to the replicated layout
+    try:
+        stc2, _tc2, _pc2, y8c2 = fastlo_ddc_cascade_bank(
+            ba_q, st2c,
+            tuple(hbf1_tail_init(2 * c, len(tv)) for tv in taps3),
+            ph0, steps_v, x_r, 29, taps=taps3, time_chunk=128,
+            x_layout="lanes",
+        )
+        okl = (np.array_equal(np.asarray(y8c2), np.asarray(y8b))
+               and np.array_equal(np.asarray(stc2.x), np.asarray(stb.x)))
+        ok = ok and okl
+        print(f"fastlo x_layout=lanes (bit-eq)     "
+              f"{'OK' if okl else 'MISMATCH'}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        ok = False
+        print(f"fastlo x_layout=lanes (bit-eq)     FAILED: {str(e)[:200]}",
+              flush=True)
+
     # WDF 19th-order complementary pair (Gazsi ex.5) kernel vs scan
     from idsp_tpu.filters import wdf
     from idsp_tpu.filters.wdf_pallas import wdf_pair_bank

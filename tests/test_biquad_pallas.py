@@ -1175,3 +1175,42 @@ def test_pallas_df1_bank_dec_non_pow2():
                               interpret=True)
     np.testing.assert_array_equal(np.asarray(ys)[::d], np.asarray(yd))
     np.testing.assert_array_equal(np.asarray(st_a.y), np.asarray(st_b.y))
+
+
+def test_pallas_fastlo_x_layouts_bit_identical():
+    # x_layout="lanes" streams the scalar input at 4 B/sample (128x
+    # less HBM than the lane-replicated layout) via an in-kernel
+    # broadcast+transpose; both layouts are bit-identical.
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.ddc_pallas import (
+        fastlo_ddc_cascade_bank, hbf1_tail_init,
+    )
+
+    c, t = 128, 512
+    c2 = 2 * c
+    rng = np.random.default_rng(50)
+    ba_q = _ba_q(0.02)
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    taps3 = tuple(hbf.HBF_TAPS[2 - d] for d in range(3))
+    outs = {}
+    for layout in ("replicate", "lanes"):
+        st = biquad.df1_init((c2,), jnp.int32)
+        tails = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps3)
+        st, tails, _ph, y = fastlo_ddc_cascade_bank(
+            ba_q, st, tails, phase0, steps, x, 29, taps=taps3,
+            time_chunk=128, x_layout=layout, interpret=True,
+        )
+        outs[layout] = (np.asarray(st.x), np.asarray(y))
+    np.testing.assert_array_equal(outs["replicate"][0], outs["lanes"][0])
+    np.testing.assert_array_equal(outs["replicate"][1], outs["lanes"][1])
