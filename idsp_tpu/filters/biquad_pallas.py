@@ -451,8 +451,9 @@ def _seq_bank_kernel(body, unroll: int = 2, prep=None, dec: int = 1):
     boundary (tuple fori carries miscompile under a grid; see
     CLAUDE.md).  Restacking the carry array every sample dominates the
     sequential loop cost: unpacking once per unroll group and stacking
-    once on exit measures 24 -> 69 GS/s on the 1024-lane DF1 bank
-    (scripts/tpu_unroll_exp.py).  ``unroll`` additionally interleaves
+    once on exit measured ~2.9x on a 1024-lane DF1 bank unroll sweep
+    (scripts/tpu_unroll_exp.py; canonical-config rates live in
+    benches/RESULTS.md).  ``unroll`` additionally interleaves
     independent work of adjacent steps.  Time chunks are always a
     multiple of ``unroll`` (powers of two).
     """

@@ -90,7 +90,8 @@ def ddc_bank_block_biquad(
     """DDC bank with the Pallas Q32 biquad as the channel filter.
 
     Same structure as `ddc_bank_block` but the I/Q lowpass is the
-    20+ GS/s `df1_bank_q` kernel (c must be a multiple of 64 so the
+    `df1_bank_q` Pallas kernel (see benches/RESULTS.md for the
+    canonical rate; c must be a multiple of 64 so the
     stacked I|Q bank is a multiple of 128).  ``ba_q`` and ``pll_ba``
     are STATIC tuples of ints (the kernels bake coefficients as
     constants; use `df1_bank_q_coef` for runtime retune).
