@@ -759,6 +759,14 @@ def main(argv=None):
         ),
         ddc_bank.init_biquad(cb), x_bank, steps_bank, samples=cb * t,
     )
+    run_trials(
+        "ddc bank 1024ch (whole stack, 1 kernel)",
+        lambda s, x, stp: ddc_bank.ddc_bank_block_biquad(
+            s, x, stp, ba_bank, pll_ba_t, decimate=16,
+            lo_mode="one_kernel"
+        ),
+        ddc_bank.init_biquad(cb), x_bank, steps_bank, samples=cb * t,
+    )
 
     dev = jax.devices()[0]
     header = (
@@ -855,6 +863,8 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "BASELINE #5 (SNR-gated fast LO)",
         "ddc bank 1024ch (biquad+pll, 1-kernel)":
             "BASELINE #5 (fused mix+DF1+dec kernel)",
+        "ddc bank 1024ch (whole stack, 1 kernel)":
+            "BASELINE #5 (mix+DF1+dec+atan2+PLL, one kernel)",
     }
     for r in rows:
         med, spread = gs(r.name)

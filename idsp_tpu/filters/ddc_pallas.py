@@ -282,6 +282,120 @@ def _iir_df1_clamp_body(ba_static, f, u, lo, hi):
     return body
 
 
+# --- kernel-traceable atan2 (no 64-bit ints, no gathers) ----------------------
+#
+# `ops.trig.atan2` uses u64 arithmetic and `lax.clz`, which Mosaic
+# cannot lower; this is the same algorithm (src/atan2.rs:12-82) built
+# from the kernels' 16-bit-limb machinery: select-tree clz, 16-way
+# compare/select reciprocal LUT, limb-emulated Q31 multiplies.  Pure
+# jnp — bit-identical to `trig.atan2` both inside kernels and in plain
+# XLA (tests/test_biquad_pallas.py gates the full i32 semantics).
+
+_ATAN2_I32_MIN = -2147483648
+_ATAN2_I32_MAX = 2147483647
+
+
+def _mul_q31_limb(a, x):
+    """u32 Q31 multiply without rounding bias: (a*x) >> 31 on the
+    emulated u64 product (src/atan2.rs:6-9)."""
+    from .biquad_pallas import _mul_u32_u32_to_u64
+
+    hi, lo = _mul_u32_u32_to_u64(a, x)
+    return (lo >> 31) | (hi << 1)
+
+
+def _clz32_u32(v):
+    """Count leading zeros of u32 (v != 0) via a 5-step select tree."""
+    n = jnp.zeros_like(v)
+    for bits, mask in ((16, 0xFFFF0000), (8, 0xFF000000),
+                      (4, 0xF0000000), (2, 0xC0000000), (1, 0x80000000)):
+        z = (v & jnp.uint32(mask)) == 0
+        v = jnp.where(z, v << bits, v)
+        n = n + jnp.where(z, jnp.uint32(bits), jnp.uint32(0))
+    return n
+
+
+def _divi_kernel(y, x):
+    """y/x in Q31 for 0 <= y <= x (src/atan2.rs:12-29): normalize,
+    16-entry reciprocal LUT seed (compare/select), one Newton step."""
+    from .. import luts
+    from .biquad_pallas import _mul_i32_i32_to_i64, _shr_i64_to_i32
+
+    base_t, slope_t = luts.atan2_divi_table()
+    frac_bits = 31 - luts.ATAN2_DIVI_DEPTH  # 27
+
+    x_safe = jnp.where(x == 0, jnp.uint32(1), x)
+    shift = _clz32_u32(x_safe)
+    y = y << shift
+    xn = x_safe << shift
+
+    rem = xn & jnp.uint32((1 << frac_bits) - 1)
+    idx = (xn << 1) >> (1 + frac_bits)
+    base = jnp.zeros_like(idx)
+    slope = jnp.zeros_like(idx.astype(jnp.int32))
+    for j in range(base_t.shape[0]):
+        m = idx == j
+        base = jnp.where(m, jnp.uint32(int(base_t[j])), base)
+        slope = jnp.where(m, jnp.int32(int(slope_t[j])), slope)
+    # (slope * rem) >> 27: rem < 2^27 fits i32, slope i32
+    sh, sl = _mul_i32_i32_to_i64(slope, rem.astype(jnp.int32))
+    step = _shr_i64_to_i32(sh, sl, frac_bits).astype(jnp.uint32)
+    r0 = base + step  # wrapping u32
+    r = _mul_q31_limb(
+        y, _mul_q31_limb(r0, jnp.uint32(0) - _mul_q31_limb(xn, r0))
+    )
+    return jnp.where(x == 0, jnp.uint32(0), r)
+
+
+def _atani_kernel(x):
+    """11th-order odd minimax atan on the first octant, Q-format Horner
+    (src/atan2.rs:32-48); x u32 Q31 in [0, 1]."""
+    from ..ops.trig import _ATANI
+    from .biquad_pallas import (
+        _mul_i32_i32_to_i64, _mul_u32_i32_to_i64, _mul_u32_u32_to_u64,
+    )
+
+    x2hi, _ = _mul_u32_u32_to_u64(x, x)
+    x2 = x2hi.astype(jnp.int32)  # (x*x) >> 32, < 2^30
+    r = jnp.zeros_like(x2)
+    for i in range(_ATANI.shape[0] - 1, -1, -1):
+        rhi, _ = _mul_i32_i32_to_i64(r, x2)  # (r*x2) >> 32 == hi word
+        r = rhi + jnp.int32(int(_ATANI[i]))  # wrapping add
+    fhi, flo = _mul_u32_i32_to_i64(x, r)  # (r*x) exact 64-bit
+    return (flo >> 28) | (_as_u32_pl(fhi) << 4)  # low 32 of >> 28
+
+
+def _as_u32_pl(v):
+    return v.astype(jnp.uint32)
+
+
+def atan2_i32(y, x):
+    """Full-circle fixed-point atan2 (src/atan2.rs:66-82), kernel-
+    traceable; bit-identical to `ops.trig.atan2`."""
+    imin = jnp.int32(_ATAN2_I32_MIN)
+    imax = jnp.int32(_ATAN2_I32_MAX)
+    k = jnp.zeros(jnp.broadcast_shapes(y.shape, x.shape), dtype=jnp.uint32)
+    y = jnp.broadcast_to(y, k.shape)
+    x = jnp.broadcast_to(x, k.shape)
+
+    neg_y = y < 0
+    y = jnp.where(neg_y, jnp.where(y == imin, imax, -y), y)
+    k = jnp.where(neg_y, k ^ jnp.uint32(0xFFFFFFFF), k)
+
+    neg_x = x < 0
+    x = jnp.where(neg_x, jnp.where(x == imin, imax, -x), x)
+    k = jnp.where(neg_x, k ^ jnp.uint32(0x7FFFFFFF), k)
+
+    swap = y > x
+    y, x = jnp.where(swap, x, y), jnp.where(swap, y, x)
+    k = jnp.where(swap, k ^ jnp.uint32(0x3FFFFFFF), k)
+
+    r = _atani_kernel(
+        _divi_kernel(y.astype(jnp.uint32), x.astype(jnp.uint32))
+    )
+    return (r ^ k).astype(jnp.int32)
+
+
 def _x_rows_from_lanes(xl, tc: int):
     """(tc//128, 128) row-major packed x -> (tc, 128) with every lane of
     row i holding x[i], via per-group 128x128 broadcast + transpose.
@@ -836,6 +950,231 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
         y=jnp.stack([st_out[2], st_out[3]], axis=-1),
     )
     return new_state, ys.reshape(t // d, c2)
+
+
+def fastlo_ddc_bank_block(ba, pll_ba, state: Df1State, pll_state, phase0,
+                          steps, x, f: int = 29, *, d: int = 16,
+                          time_chunk: int = 128, unroll: int = 4,
+                          pll_unroll: int = 2, trig_dtype=jnp.float32,
+                          x_layout: str = "replicate",
+                          interpret: bool = False):
+    """The ENTIRE BASELINE #5 per-channel stack in ONE kernel: fast-LO
+    conjugate mix + DF1 biquad bank + keep-1-in-d decimation + fixed-
+    point atan2 + type-2 PLL carrier tracking.
+
+    Extends `fastlo_df1_dec_bank` with the decimated-rate back end:
+    `atan2_i32` (bit-identical to ops.trig.atan2, limb-emulated) runs
+    vectorized on the kept rows and the 9-word PLL recurrence
+    (pll_pallas._pll_body, bit-identical to pll.block) scans them —
+    per block the kernel reads x (t,) + tiny LO tables and writes only
+    the (t/d, 2c) decimated IQ plus the carried states.
+
+    Args:
+      pll_ba: (3,) static ints [b0, b1, a1] Q32<32> lead-lag.
+      pll_state: `pll.PllState` over (c,) channels.
+
+    Returns (df1_state, pll_state, new_phase0, yiq_d).
+    """
+    pll_static = tuple(int(v) for v in __import__("numpy").asarray(
+        pll_ba).reshape(-1)[:3])
+    new_state, new_pll, y = _fastlo_ddc_bank_impl(
+        _ba_static(ba), pll_static, state, pll_state, phase0, steps, x,
+        f, int(d),
+        time_chunk=time_chunk, unroll=unroll, pll_unroll=pll_unroll,
+        trig_dtype=jnp.dtype(trig_dtype), x_layout=x_layout,
+        interpret=interpret,
+    )
+    new_phase0 = phase0 + steps * jnp.int32(x.shape[0])
+    return new_state, new_pll, new_phase0, y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "pll_static", "f", "d", "time_chunk",
+                     "unroll", "pll_unroll", "trig_dtype", "x_layout",
+                     "interpret"),
+)
+def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
+                          steps, x, f, d, *, time_chunk, unroll,
+                          pll_unroll, trig_dtype, x_layout, interpret):
+    from .pll_pallas import _pll_body
+    from .biquad_pallas import (
+        _pick_time_chunk, _split_i64_planes, _join_i64_planes,
+    )
+    from ..ops.unwrap import ClampWrapState
+    from .pll import PllState
+
+    t = x.shape[0]
+    c = phase0.shape[0]
+    c2 = 2 * c
+    assert c % 128 == 0 and t % d == 0 and unroll % 2 == 0
+    cs = c // 128
+    cs2 = 2 * cs
+
+    body = _iir_df1_body(ba_static, f)
+
+    vmem_cap = max(8, (10 * 2**20) // (42 * c2))
+    time_chunk = _pick_time_chunk(
+        t, vmem_cap, unroll, max(d, d * pll_unroll), time_chunk
+    )
+    tc = time_chunk
+    nd = tc // d  # decimated rows per chunk
+    assert nd % pll_unroll == 0
+    grid = (t // tc,)
+
+    def kernel(st_in_ref, pst_in_ref, caf_ref, saf_ref, cbf_ref, sbf_ref,
+               xw_ref, y_ref, out_state_ref, out_pst_ref, state_ref,
+               pst_ref, miq_ref, yfull_ref, ph_ref):
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+            pst_ref[...] = pst_in_ref[...]
+
+        ca, sa = caf_ref[0], saf_ref[0]
+        cb, sb = cbf_ref[...], sbf_ref[...]
+        lo_re = ca[None] * cb - sa[None] * sb
+        lo_im = sa[None] * cb + ca[None] * sb
+        if x_layout == "lanes":
+            xt = _x_rows_from_lanes(xw_ref, tc)
+            xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
+        else:
+            xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
+        mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
+        mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
+        miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
+
+        def step(j, packed):
+            carry = tuple(packed[rr] for rr in range(4))
+            for u in range(unroll):
+                i = j * unroll + u
+                carry, y0 = body(carry, miq_ref[i])
+                yfull_ref[i] = y0
+            return jnp.stack(carry)
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        ydec = yfull_ref[...].reshape(tc // d, d, cs2, 128)[:, 0]
+        y_ref[...] = ydec
+
+        # decimated-rate back end: atan2 vectorized, PLL sequential
+        ph_ref[...] = atan2_i32(ydec[:, cs:], ydec[:, :cs])
+
+        def pstep(j, packed):
+            carry = tuple(packed[rr] for rr in range(9))
+            for u in range(pll_unroll):
+                carry, _y = _pll_body(
+                    pll_static, carry, ph_ref[j * pll_unroll + u]
+                )
+            return jnp.stack(carry)
+
+        pst = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nd // pll_unroll), pstep, pst_ref[...]
+        )
+        pst_ref[...] = pst
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = state_ref[...]
+            out_pst_ref[...] = pst
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs2, 128)
+    f0hi, f0lo = _split_i64_planes(pll_state.f0)
+    fhi, flo = _split_i64_planes(pll_state.f)
+    pst_in = jnp.stack(
+        [
+            pll_state.clamp.x0,
+            pll_state.clamp.clamp.astype(jnp.int32),
+            pll_state.z0,
+            pll_state.y0,
+            f0hi, f0lo, fhi, flo,
+            pll_state.y,
+        ],
+        axis=0,
+    ).reshape(9, cs, 128)
+
+    ca, sa, cb, sb = _fastlo.fastlo_tables(
+        phase0, steps, t, tc, trig_dtype=trig_dtype
+    )
+    xh = x.astype(jnp.float32) * jnp.float32(_fastlo.AMPLITUDE)
+    if x_layout == "lanes":
+        assert tc % 128 == 0 and t % 128 == 0
+        xw = xh.reshape(t // 128, 128)
+        x_spec = pl.BlockSpec(
+            (tc // 128, 128), lambda i: (i, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        xw = jnp.broadcast_to(xh[:, None, None], (t, 1, 128))
+        x_spec = pl.BlockSpec(
+            (tc, 1, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def fixed(rr, ncs=cs2):
+        return pl.BlockSpec(
+            (rr, ncs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def walk(rr, ncs):
+        return pl.BlockSpec(
+            (rr, ncs, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    ys, st_out, pst_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed(4), fixed(9, cs),
+            walk(1, cs), walk(1, cs),
+            fixed(tc, cs), fixed(tc, cs),
+            x_spec,
+        ],
+        out_specs=[walk(tc // d, cs2), fixed(4), fixed(9, cs)],
+        out_shape=[
+            jax.ShapeDtypeStruct((t // d, cs2, 128), jnp.int32),
+            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
+            jax.ShapeDtypeStruct((9, cs, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, cs2, 128), jnp.int32),
+            pltpu.VMEM((9, cs, 128), jnp.int32),
+            pltpu.VMEM((tc, cs2, 128), jnp.int32),
+            pltpu.VMEM((tc, cs2, 128), jnp.int32),
+            pltpu.VMEM((nd, cs, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(st_in, pst_in, ca.reshape(t // tc, cs, 128),
+      sa.reshape(t // tc, cs, 128), cb.reshape(tc, cs, 128),
+      sb.reshape(tc, cs, 128), xw)
+
+    st_out = st_out.reshape(4, c2)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    pst_out = pst_out.reshape(9, c)
+    new_pll = PllState(
+        clamp=ClampWrapState(
+            x0=pst_out[0], clamp=pst_out[1].astype(jnp.int8)
+        ),
+        z0=pst_out[2],
+        y0=pst_out[3],
+        f0=_join_i64_planes(pst_out[4], pst_out[5]),
+        f=_join_i64_planes(pst_out[6], pst_out[7]),
+        y=pst_out[8],
+    )
+    return new_state, new_pll, ys.reshape(t // d, c2)
 
 
 def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,

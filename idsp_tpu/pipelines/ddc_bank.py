@@ -112,6 +112,24 @@ def ddc_bank_block_biquad(
     # Mosaic's in-kernel select chain costs ~1.7x XLA's even with the
     # sub-chunked mix (scripts/tpu_fused_sub_probe.py vs
     # tpu_split_probe.py: 2.6 ms vs 3.2 ms for the mix+DF1 front end).
+    if lo_mode == "one_kernel":
+        # the ENTIRE per-channel stack (fast-LO mix + DF1 + decimate +
+        # atan2 + PLL) in one kernel — bit-identical to the
+        # "fast_fused" + atan2 + pll composition
+        from ..filters.ddc_pallas import fastlo_ddc_bank_block
+
+        bq_state, pll_state, _ph, yiq_d = fastlo_ddc_bank_block(
+            ba_q, pll_ba, state.bq, state.pll, state.nco_phase,
+            nco_steps, x, f, d=decimate, interpret=interpret,
+        )
+        yi_d = yiq_d[:, :c]
+        yq_d = yiq_d[:, c:]
+        new_state = DdcBankBiquadState(
+            nco_phase=accu.advance(state.nco_phase, nco_steps, t),
+            bq=bq_state,
+            pll=pll_state,
+        )
+        return new_state, (yi_d, yq_d, pll.frequency(pll_state))
     if lo_mode == "fast_fused":
         # the whole front end (fast-LO mix + DF1 + decimate) in ONE
         # kernel — the full-rate mixed stream never touches HBM

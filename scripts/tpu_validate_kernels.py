@@ -377,6 +377,40 @@ def main():
         print(f"fastlo x_layout=lanes (bit-eq)     FAILED: {str(e)[:200]}",
               flush=True)
 
+    # one-kernel DDC bank (mix + DF1 + dec + atan2 + PLL): bit-equal to
+    # the composed fast path
+    try:
+        from idsp_tpu.filters import pll as _pll
+        from idsp_tpu.filters.ddc_pallas import (
+            fastlo_ddc_bank_block, fastlo_df1_dec_bank,
+        )
+        from idsp_tpu.ops.trig import atan2 as _atan2
+
+        dd = 16
+        pba3 = jnp.asarray(_pll.coefficients_from_bandwidth(2e-2, 4.0))
+        sta, pha, ydd = fastlo_df1_dec_bank(
+            ba_q, st2c, ph0, steps_v, x_r, 29, d=dd, time_chunk=128,
+        )
+        phd = _atan2(ydd[:, c:], ydd[:, :c])
+        psta, _ = _pll.block(pba3, _pll.init((c,)), phd)
+        stb2, pstb2, phb2, ydd2 = fastlo_ddc_bank_block(
+            ba_q, pba3, st2c, _pll.init((c,)), ph0, steps_v, x_r, 29,
+            d=dd, time_chunk=128,
+        )
+        okb = (
+            np.array_equal(np.asarray(ydd), np.asarray(ydd2))
+            and np.array_equal(np.asarray(sta.y), np.asarray(stb2.y))
+            and np.array_equal(np.asarray(psta.f), np.asarray(pstb2.f))
+            and np.array_equal(np.asarray(psta.y), np.asarray(pstb2.y))
+        )
+        ok = ok and okb
+        print(f"fastlo_ddc_bank 1-kernel (bit-eq)  "
+              f"{'OK' if okb else 'MISMATCH'}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        ok = False
+        print(f"fastlo_ddc_bank 1-kernel (bit-eq)  FAILED: {str(e)[:200]}",
+              flush=True)
+
     # WDF 19th-order complementary pair (Gazsi ex.5) kernel vs scan
     from idsp_tpu.filters import wdf
     from idsp_tpu.filters.wdf_pallas import wdf_pair_bank

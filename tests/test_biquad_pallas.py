@@ -1214,3 +1214,82 @@ def test_pallas_fastlo_x_layouts_bit_identical():
         outs[layout] = (np.asarray(st.x), np.asarray(y))
     np.testing.assert_array_equal(outs["replicate"][0], outs["lanes"][0])
     np.testing.assert_array_equal(outs["replicate"][1], outs["lanes"][1])
+
+
+def test_pallas_atan2_i32_bitexact():
+    # The kernel-traceable atan2 (limb-emulated u64, select-tree clz)
+    # is bit-identical to ops.trig.atan2 (itself golden-validated),
+    # including the saturating-negation and axis-exactness edges.
+    from idsp_tpu.ops import trig
+    from idsp_tpu.filters.ddc_pallas import atan2_i32
+
+    rng = np.random.default_rng(61)
+    y = rng.integers(-(2**31), 2**31, size=(1 << 15,),
+                     dtype=np.int64).astype(np.int32)
+    x = rng.integers(-(2**31), 2**31, size=(1 << 15,),
+                     dtype=np.int64).astype(np.int32)
+    sp = np.array([0, 1, -1, 2**31 - 1, -(2**31), 0x3FFF_FFFF],
+                  np.int32)
+    ys = np.concatenate([y, np.repeat(sp, len(sp))])
+    xs = np.concatenate([x, np.tile(sp, len(sp))])
+    a = np.asarray(trig.atan2(jnp.asarray(ys), jnp.asarray(xs)))
+    b = np.asarray(atan2_i32(jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fastlo_ddc_bank_one_kernel_bitexact():
+    # mix + DF1 + decimate + atan2 + PLL in ONE kernel == the composed
+    # fast path (fast_fused front end + XLA atan2 + pll.block),
+    # bit-for-bit including both carried states.
+    from idsp_tpu.filters import pll
+    from idsp_tpu.filters.ddc_pallas import (
+        fastlo_ddc_bank_block, fastlo_df1_dec_bank,
+    )
+    from idsp_tpu.ops.trig import atan2
+
+    c, t, d = 128, 1024, 16
+    c2 = 2 * c
+    rng = np.random.default_rng(60)
+    ba_q = _ba_q(0.004)
+    pll_ba = jnp.asarray(pll.coefficients_from_bandwidth(2e-2, 4.0))
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+        .astype(np.int32)
+    )
+
+    st_a = biquad.df1_init((c2,), jnp.int32)
+    pst_a = pll.init((c,))
+    ph_a = phase0
+    for _ in range(2):
+        st_a, ph_a, yd = fastlo_df1_dec_bank(
+            ba_q, st_a, ph_a, steps, x, 29, d=d, time_chunk=128,
+            interpret=True,
+        )
+        phd = atan2(yd[:, c:], yd[:, :c])
+        pst_a, _ = pll.block(pll_ba, pst_a, phd)
+
+    st_b = biquad.df1_init((c2,), jnp.int32)
+    pst_b = pll.init((c,))
+    ph_b = phase0
+    for _ in range(2):
+        st_b, pst_b, ph_b, yd_b = fastlo_ddc_bank_block(
+            ba_q, pll_ba, st_b, pst_b, ph_b, steps, x, 29, d=d,
+            time_chunk=128, interpret=True,
+        )
+
+    np.testing.assert_array_equal(np.asarray(ph_a), np.asarray(ph_b))
+    np.testing.assert_array_equal(np.asarray(yd), np.asarray(yd_b))
+    np.testing.assert_array_equal(np.asarray(st_a.y), np.asarray(st_b.y))
+    for name in ("z0", "y0", "f0", "f", "y"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pst_a, name)),
+            np.asarray(getattr(pst_b, name)), err_msg=name,
+        )
