@@ -114,6 +114,13 @@ def main(argv=None):
         ),
         ddc_bank.init_biquad(c),
     )
+    bench(
+        "ddc bank (whole stack in one kernel)",
+        lambda s: ddc_bank.ddc_bank_block_biquad(
+            s, x, steps, ba_q, pll_ba, decimate=d, lo_mode="one_kernel"
+        ),
+        ddc_bank.init_biquad(c),
+    )
 
 
 if __name__ == "__main__":
