@@ -767,6 +767,14 @@ def main(argv=None):
         ),
         ddc_bank.init_biquad(cb), x_bank, steps_bank, samples=cb * t,
     )
+    run_trials(
+        "ddc bank 1024ch (lp2 stack, 1 kernel)",
+        lambda s, x, stp: ddc_bank.ddc_bank_block(
+            s, x, stp, lp2_gains, pll_ba_t, decimate=16,
+            lo_mode="one_kernel"
+        ),
+        ddc_bank.init(cb), x_bank, steps_bank, samples=cb * t,
+    )
 
     dev = jax.devices()[0]
     header = (
@@ -865,6 +873,8 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "BASELINE #5 (fused mix+DF1+dec kernel)",
         "ddc bank 1024ch (whole stack, 1 kernel)":
             "BASELINE #5 (mix+DF1+dec+atan2+PLL, one kernel)",
+        "ddc bank 1024ch (lp2 stack, 1 kernel)":
+            "BASELINE #5 headline config, one kernel",
     }
     for r in rows:
         med, spread = gs(r.name)

@@ -975,34 +975,127 @@ def fastlo_ddc_bank_block(ba, pll_ba, state: Df1State, pll_state, phase0,
 
     Returns (df1_state, pll_state, new_phase0, yiq_d).
     """
-    pll_static = tuple(int(v) for v in __import__("numpy").asarray(
-        pll_ba).reshape(-1)[:3])
-    new_state, new_pll, y = _fastlo_ddc_bank_impl(
-        _ba_static(ba), pll_static, state, pll_state, phase0, steps, x,
-        f, int(d),
+    import numpy as _np
+
+    pll_static = tuple(
+        int(v) for v in _np.asarray(pll_ba).reshape(-1)[:3]
+    )
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0],
+         state.y[..., 1]],
+        axis=0,
+    )
+    st_out, pst_out, y, _ypll = _fastlo_ddc_bank_impl(
+        ("df1", _ba_static(ba), int(f)), pll_static, st_in,
+        _pack_pll_state(pll_state), phase0, steps, x, int(d),
         time_chunk=time_chunk, unroll=unroll, pll_unroll=pll_unroll,
         trig_dtype=jnp.dtype(trig_dtype), x_layout=x_layout,
         interpret=interpret,
     )
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
     new_phase0 = phase0 + steps * jnp.int32(x.shape[0])
-    return new_state, new_pll, new_phase0, y
+    return new_state, _unpack_pll_state(pst_out), new_phase0, y
+
+
+def fastlo_ddc_bank_block_lp(lp_gains, pll_ba, lp_state, pll_state,
+                             phase0, steps, x, *, n: int = 2, d: int = 16,
+                             time_chunk: int = 128, unroll: int = 4,
+                             pll_unroll: int = 2, trig_dtype=jnp.float32,
+                             x_layout: str = "replicate",
+                             interpret: bool = False):
+    """The Lowpass<N>-flavored one-kernel DDC bank (the BASELINE #5
+    headline configuration): fast-LO mix + integer Lowpass2 I/Q bank +
+    keep-1-in-d decimation + atan2 + PLL, one kernel per block.
+
+    Args:
+      lp_gains: (N,) static ints (`lowpass.gains1/gains2`).
+      lp_state: `lowpass.LowpassState` with p (2c, N) i64 — the I|Q
+        concat bank (the pipeline's `Lanes` layout).
+
+    Returns (lp_state, pll_state, new_phase0, yiq_d).
+    """
+    import numpy as _np
+
+    from .biquad_pallas import _split_i64_planes, _join_i64_planes
+    from .lowpass import LowpassState
+
+    k_static = tuple(int(v) for v in _np.asarray(lp_gains).reshape(-1))
+    assert len(k_static) == n and n in (1, 2)
+    pll_static = tuple(
+        int(v) for v in _np.asarray(pll_ba).reshape(-1)[:3]
+    )
+    planes = []
+    for i in range(n):
+        hi, lo = _split_i64_planes(lp_state.p[..., i])
+        planes += [hi, lo]
+    st_in = jnp.stack(planes, axis=0)
+    st_out, pst_out, y, ypll = _fastlo_ddc_bank_impl(
+        ("lp", k_static, n), pll_static, st_in,
+        _pack_pll_state(pll_state), phase0, steps, x, int(d),
+        time_chunk=time_chunk, unroll=unroll, pll_unroll=pll_unroll,
+        trig_dtype=jnp.dtype(trig_dtype), x_layout=x_layout,
+        interpret=interpret,
+    )
+    p = jnp.stack(
+        [_join_i64_planes(st_out[2 * i], st_out[2 * i + 1])
+         for i in range(n)],
+        axis=-1,
+    )
+    new_phase0 = phase0 + steps * jnp.int32(x.shape[0])
+    return (LowpassState(p=p), _unpack_pll_state(pst_out), new_phase0, y,
+            ypll)
+
+
+def _pack_pll_state(pll_state):
+    from .biquad_pallas import _split_i64_planes
+
+    f0hi, f0lo = _split_i64_planes(pll_state.f0)
+    fhi, flo = _split_i64_planes(pll_state.f)
+    return jnp.stack(
+        [
+            pll_state.clamp.x0,
+            pll_state.clamp.clamp.astype(jnp.int32),
+            pll_state.z0,
+            pll_state.y0,
+            f0hi, f0lo, fhi, flo,
+            pll_state.y,
+        ],
+        axis=0,
+    )
+
+
+def _unpack_pll_state(pst_out):
+    from ..ops.unwrap import ClampWrapState
+    from .biquad_pallas import _join_i64_planes
+    from .pll import PllState
+
+    return PllState(
+        clamp=ClampWrapState(
+            x0=pst_out[0], clamp=pst_out[1].astype(jnp.int8)
+        ),
+        z0=pst_out[2],
+        y0=pst_out[3],
+        f0=_join_i64_planes(pst_out[4], pst_out[5]),
+        f=_join_i64_planes(pst_out[6], pst_out[7]),
+        y=pst_out[8],
+    )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ba_static", "pll_static", "f", "d", "time_chunk",
+    static_argnames=("filt", "pll_static", "d", "time_chunk",
                      "unroll", "pll_unroll", "trig_dtype", "x_layout",
                      "interpret"),
 )
-def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
-                          steps, x, f, d, *, time_chunk, unroll,
+def _fastlo_ddc_bank_impl(filt, pll_static, st_in, pst_in, phase0,
+                          steps, x, d, *, time_chunk, unroll,
                           pll_unroll, trig_dtype, x_layout, interpret):
+    """filt: static spec — ("df1", ba5, f) or ("lp", k_tuple, n)."""
     from .pll_pallas import _pll_body
-    from .biquad_pallas import (
-        _pick_time_chunk, _split_i64_planes, _join_i64_planes,
-    )
-    from ..ops.unwrap import ClampWrapState
-    from .pll import PllState
+    from .biquad_pallas import _pick_time_chunk
 
     t = x.shape[0]
     c = phase0.shape[0]
@@ -1011,7 +1104,17 @@ def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
     cs = c // 128
     cs2 = 2 * cs
 
-    body = _iir_df1_body(ba_static, f)
+    if filt[0] == "df1":
+        body = _iir_df1_body(filt[1], filt[2])
+        n_rows = 4
+    else:
+        from .lowpass_pallas import _lp_body
+
+        k_static, lp_n = filt[1], filt[2]
+        n_rows = 2 * lp_n
+
+        def body(carry, x0):
+            return _lp_body(k_static, lp_n, carry, x0)
 
     vmem_cap = max(8, (10 * 2**20) // (42 * c2))
     time_chunk = _pick_time_chunk(
@@ -1023,8 +1126,8 @@ def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
     grid = (t // tc,)
 
     def kernel(st_in_ref, pst_in_ref, caf_ref, saf_ref, cbf_ref, sbf_ref,
-               xw_ref, y_ref, out_state_ref, out_pst_ref, state_ref,
-               pst_ref, miq_ref, yfull_ref, ph_ref):
+               xw_ref, y_ref, ypll_ref, out_state_ref, out_pst_ref,
+               state_ref, pst_ref, miq_ref, yfull_ref, ph_ref):
         tq = pl.program_id(0)
         n_t = pl.num_programs(0)
 
@@ -1047,7 +1150,7 @@ def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
         miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
 
         def step(j, packed):
-            carry = tuple(packed[rr] for rr in range(4))
+            carry = tuple(packed[rr] for rr in range(n_rows))
             for u in range(unroll):
                 i = j * unroll + u
                 carry, y0 = body(carry, miq_ref[i])
@@ -1068,9 +1171,9 @@ def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
         def pstep(j, packed):
             carry = tuple(packed[rr] for rr in range(9))
             for u in range(pll_unroll):
-                carry, _y = _pll_body(
-                    pll_static, carry, ph_ref[j * pll_unroll + u]
-                )
+                i = j * pll_unroll + u
+                carry, yv = _pll_body(pll_static, carry, ph_ref[i])
+                ypll_ref[i] = yv
             return jnp.stack(carry)
 
         pst = jax.lax.fori_loop(
@@ -1083,23 +1186,8 @@ def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
             out_state_ref[...] = state_ref[...]
             out_pst_ref[...] = pst
 
-    st_in = jnp.stack(
-        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
-        axis=0,
-    ).reshape(4, cs2, 128)
-    f0hi, f0lo = _split_i64_planes(pll_state.f0)
-    fhi, flo = _split_i64_planes(pll_state.f)
-    pst_in = jnp.stack(
-        [
-            pll_state.clamp.x0,
-            pll_state.clamp.clamp.astype(jnp.int32),
-            pll_state.z0,
-            pll_state.y0,
-            f0hi, f0lo, fhi, flo,
-            pll_state.y,
-        ],
-        axis=0,
-    ).reshape(9, cs, 128)
+    st_in = st_in.reshape(n_rows, cs2, 128)
+    pst_in = pst_in.reshape(9, cs, 128)
 
     ca, sa, cb, sb = _fastlo.fastlo_tables(
         phase0, steps, t, tc, trig_dtype=trig_dtype
@@ -1131,23 +1219,25 @@ def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
             memory_space=pltpu.VMEM,
         )
 
-    ys, st_out, pst_out = pl.pallas_call(
+    ys, ypll, st_out, pst_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            fixed(4), fixed(9, cs),
+            fixed(n_rows), fixed(9, cs),
             walk(1, cs), walk(1, cs),
             fixed(tc, cs), fixed(tc, cs),
             x_spec,
         ],
-        out_specs=[walk(tc // d, cs2), fixed(4), fixed(9, cs)],
+        out_specs=[walk(tc // d, cs2), walk(tc // d, cs),
+                   fixed(n_rows), fixed(9, cs)],
         out_shape=[
             jax.ShapeDtypeStruct((t // d, cs2, 128), jnp.int32),
-            jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32),
+            jax.ShapeDtypeStruct((t // d, cs, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, cs2, 128), jnp.int32),
             jax.ShapeDtypeStruct((9, cs, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, cs2, 128), jnp.int32),
+            pltpu.VMEM((n_rows, cs2, 128), jnp.int32),
             pltpu.VMEM((9, cs, 128), jnp.int32),
             pltpu.VMEM((tc, cs2, 128), jnp.int32),
             pltpu.VMEM((tc, cs2, 128), jnp.int32),
@@ -1158,23 +1248,8 @@ def _fastlo_ddc_bank_impl(ba_static, pll_static, state, pll_state, phase0,
       sa.reshape(t // tc, cs, 128), cb.reshape(tc, cs, 128),
       sb.reshape(tc, cs, 128), xw)
 
-    st_out = st_out.reshape(4, c2)
-    new_state = Df1State(
-        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
-        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
-    )
-    pst_out = pst_out.reshape(9, c)
-    new_pll = PllState(
-        clamp=ClampWrapState(
-            x0=pst_out[0], clamp=pst_out[1].astype(jnp.int8)
-        ),
-        z0=pst_out[2],
-        y0=pst_out[3],
-        f0=_join_i64_planes(pst_out[4], pst_out[5]),
-        f=_join_i64_planes(pst_out[6], pst_out[7]),
-        y=pst_out[8],
-    )
-    return new_state, new_pll, ys.reshape(t // d, c2)
+    return (st_out.reshape(n_rows, c2), pst_out.reshape(9, c),
+            ys.reshape(t // d, c2), ypll.reshape(t // d, c))
 
 
 def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,

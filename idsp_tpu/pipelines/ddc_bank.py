@@ -218,6 +218,28 @@ def ddc_bank_block(
     c = state.nco_phase.shape[0]
     assert t % decimate == 0
 
+    if lo_mode == "one_kernel":
+        # the ENTIRE per-channel stack (fast-LO mix + Lowpass2 +
+        # decimate + atan2 + PLL) in one kernel per block
+        from ..filters.ddc_pallas import fastlo_ddc_bank_block_lp
+
+        lp_iq = lowpass.LowpassState(
+            p=jnp.concatenate([state.lp_i.p, state.lp_q.p], axis=0)
+        )
+        n_lp = state.lp_i.p.shape[-1]
+        lp_iq, pll_state, _ph, yiq_d, y_pll = fastlo_ddc_bank_block_lp(
+            tuple(int(v) for v in lp_gains), pll_ba, lp_iq, state.pll,
+            state.nco_phase, nco_steps, x, n=n_lp, d=decimate,
+        )
+        yi_d, yq_d = yiq_d[:, :c], yiq_d[:, c:]
+        new_state = DdcBankState(
+            nco_phase=accu.advance(state.nco_phase, nco_steps, t),
+            lp_i=lowpass.LowpassState(p=lp_iq.p[:c]),
+            lp_q=lowpass.LowpassState(p=lp_iq.p[c:]),
+            pll=pll_state,
+        )
+        return new_state, (yi_d, yq_d, y_pll, pll.frequency(pll_state))
+
     if lo_mode == "fast":
         from ..ops.fastlo import fastlo_mix
 

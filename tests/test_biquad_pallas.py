@@ -1293,3 +1293,66 @@ def test_pallas_fastlo_ddc_bank_one_kernel_bitexact():
             np.asarray(getattr(pst_a, name)),
             np.asarray(getattr(pst_b, name)), err_msg=name,
         )
+
+
+def test_pallas_fastlo_ddc_bank_lp_one_kernel():
+    # Lowpass2-flavored one-kernel DDC bank vs the XLA-fast-mix +
+    # lowpass.block + atan2 + pll.block composition.  The in-kernel LP
+    # body is the same _lp_body the bit-exact lowpass_bank uses, so the
+    # only divergence is the documented XLA-vs-kernel f32 mix rounding
+    # (a few LSB), integrated by the filter/PLL.
+    from idsp_tpu.filters import lowpass, pll
+    from idsp_tpu.filters.ddc_pallas import fastlo_ddc_bank_block_lp
+    from idsp_tpu.ops.fastlo import fastlo_mix
+    from idsp_tpu.ops.trig import atan2
+
+    c, t, d = 128, 1024, 16
+    c2 = 2 * c
+    rng = np.random.default_rng(61)
+    k2 = tuple(int(v) for v in lowpass.gains2(0.004))
+    pll_ba = jnp.asarray(pll.coefficients_from_bandwidth(2e-2, 4.0))
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+        .astype(np.int32)
+    )
+
+    lp_a = lowpass.init(2, (c2,))
+    pst_a = pll.init((c,))
+    ph_a = phase0
+    for _ in range(2):
+        miq = fastlo_mix(x, ph_a, steps, 128)
+        lp_a, yiq = lowpass.block(
+            jnp.asarray(np.asarray(k2, np.int64).astype(np.int32)),
+            lp_a, miq,
+        )
+        yd = yiq[::d]
+        phd = atan2(yd[:, c:], yd[:, :c])
+        pst_a, _ = pll.block(pll_ba, pst_a, phd)
+        ph_a = ph_a + steps * jnp.int32(t)
+
+    lp_b = lowpass.init(2, (c2,))
+    pst_b = pll.init((c,))
+    ph_b = phase0
+    for _ in range(2):
+        lp_b, pst_b, ph_b, yd_b, _ypll = fastlo_ddc_bank_block_lp(
+            k2, pll_ba, lp_b, pst_b, ph_b, steps, x, n=2, d=d,
+            time_chunk=128, interpret=True,
+        )
+
+    np.testing.assert_array_equal(np.asarray(ph_a), np.asarray(ph_b))
+    dy = np.abs(np.asarray(yd, np.int64) - np.asarray(yd_b, np.int64))
+    assert dy.max() <= 16, dy.max()
+    # PLL frequency words track within LSB-scale of the mix noise
+    # integrated by the DC pole: compare at y-LSB scale (f is <<32).
+    df = np.abs(
+        np.asarray(pst_a.f, np.int64) - np.asarray(pst_b.f, np.int64)
+    ) / 2**32
+    assert np.median(df) < 64.0, np.median(df)
