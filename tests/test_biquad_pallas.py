@@ -1356,3 +1356,36 @@ def test_pallas_fastlo_ddc_bank_lp_one_kernel():
         np.asarray(pst_a.f, np.int64) - np.asarray(pst_b.f, np.int64)
     ) / 2**32
     assert np.median(df) < 64.0, np.median(df)
+
+
+def test_pallas_fastlo_dec_bank_x_layouts_bit_identical():
+    # lanes x-layout on the dec-bank kernel too (the cascade variant is
+    # covered above).
+    from idsp_tpu.filters.ddc_pallas import fastlo_df1_dec_bank
+
+    c, t = 128, 512
+    c2 = 2 * c
+    rng = np.random.default_rng(51)
+    ba_q = _ba_q(0.004)
+    phase0 = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+        .astype(np.int32)
+    )
+    outs = {}
+    for layout in ("replicate", "lanes"):
+        st = biquad.df1_init((c2,), jnp.int32)
+        st, _ph, y = fastlo_df1_dec_bank(
+            ba_q, st, phase0, steps, x, 29, d=16, time_chunk=128,
+            x_layout=layout, interpret=True,
+        )
+        outs[layout] = (np.asarray(st.x), np.asarray(y))
+    np.testing.assert_array_equal(outs["replicate"][0], outs["lanes"][0])
+    np.testing.assert_array_equal(outs["replicate"][1], outs["lanes"][1])
