@@ -333,18 +333,28 @@ def _df1_bank_q_dec_impl(ba_static, state: Df1State, xs, f: int, d: int, *,
 
 
 def _pick_time_chunk(t: int, cap: int, unroll: int, dec: int,
-                     requested: int) -> int:
+                     requested: int, extra_multiple: int = 1) -> int:
     """Largest time chunk <= min(requested, cap) that divides ``t`` and
-    is a multiple of both ``unroll`` and ``dec``.
+    is a multiple of ``unroll``, ``dec`` and ``extra_multiple`` (e.g.
+    128 for the lanes x-layout).
 
     Non-power-of-two decimation factors (e.g. dec=12) have no
     power-of-two chunk multiple, so a halving clamp cannot find one —
-    enumerate multiples of lcm(unroll, dec) instead.
+    enumerate multiples of lcm instead.  Raises when even the minimum
+    feasible chunk exceeds the VMEM cap (silently over-allocating would
+    surface as an opaque Mosaic scoped-VMEM compile failure).
     """
     import math
 
-    base = math.lcm(max(unroll, 1), max(dec, 1))
-    limit = min(t, max(cap, base), max(requested, base))
+    base = math.lcm(max(unroll, 1), max(dec, 1), max(extra_multiple, 1))
+    if base > cap:
+        raise ValueError(
+            f"minimum feasible time chunk {base} (lcm of unroll={unroll},"
+            f" dec={dec}, layout multiple={extra_multiple}) exceeds the"
+            f" VMEM-derived cap {cap}; reduce the channel count per"
+            " kernel, the decimation factor, or the unroll"
+        )
+    limit = min(t, cap, max(requested, base))
     best = 0
     k = base
     while k <= limit:
@@ -353,7 +363,7 @@ def _pick_time_chunk(t: int, cap: int, unroll: int, dec: int,
         k += base
     assert best > 0, (
         f"no time chunk <= {limit} divides t={t} and is a multiple of "
-        f"unroll={unroll} and dec={dec}"
+        f"unroll={unroll}, dec={dec}, layout multiple={extra_multiple}"
     )
     return best
 
@@ -455,7 +465,8 @@ def _seq_bank_kernel(body, unroll: int = 2, prep=None, dec: int = 1):
     (scripts/tpu_unroll_exp.py; canonical-config rates live in
     benches/RESULTS.md).  ``unroll`` additionally interleaves
     independent work of adjacent steps.  Time chunks are always a
-    multiple of ``unroll`` (powers of two).
+    multiple of ``unroll`` (and of ``dec``), but NOT necessarily a
+    power of two — `_pick_time_chunk` enumerates lcm multiples.
     """
 
     def kernel(*refs):

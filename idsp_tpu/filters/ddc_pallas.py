@@ -409,6 +409,43 @@ def _x_rows_from_lanes(xl, tc: int):
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
 
 
+def _fastlo_x_operand(xh, t: int, tc: int, x_layout: str):
+    """(operand, BlockSpec) for the pre-scaled scalar input stream —
+    lane-packed (4 B/sample) or lane-replicated (512 B/sample)."""
+    if x_layout == "lanes":
+        assert tc % 128 == 0 and t % 128 == 0
+        return xh.reshape(t // 128, 128), pl.BlockSpec(
+            (tc // 128, 128), lambda i: (i, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+    return (
+        jnp.broadcast_to(xh[:, None, None], (t, 1, 128)),
+        pl.BlockSpec(
+            (tc, 1, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+
+def _fastlo_mix_chunk(caf_ref, saf_ref, cbf_ref, sbf_ref, xw_ref, tc: int,
+                      cs: int, x_layout: str):
+    """In-kernel fast-LO conjugate mix for one chunk: one complex
+    multiply per sample against the per-chunk coarse row; returns the
+    (tc, 2cs, 128) i32 I|Q block."""
+    ca, sa = caf_ref[0], saf_ref[0]  # (cs, 128)
+    cb, sb = cbf_ref[...], sbf_ref[...]  # (tc, cs, 128)
+    lo_re = ca[None] * cb - sa[None] * sb
+    lo_im = sa[None] * cb + ca[None] * sb
+    if x_layout == "lanes":
+        xt = _x_rows_from_lanes(xw_ref, tc)  # (tc, 128)
+        xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
+    else:
+        xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
+    mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
+    mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
+    return jnp.concatenate([mi, mq], axis=1)
+
+
 def _fir_even(odd_s, even_s, ln, nn, taps):
     """Vectorized half-band FIR over a chunk: symmetric odd-sample taps
     (small-to-large, same op order as hbf.symmetric_fir) + even-sample
@@ -468,7 +505,12 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
     vmem_cap = max(8, (10 * 2**20) // (per_elem * c2))
     from .biquad_pallas import _pick_time_chunk
 
-    time_chunk = _pick_time_chunk(t, vmem_cap, unroll, r, time_chunk)
+    lanes_mult = (
+        128 if (fastlo_in is not None and x_layout == "lanes") else 1
+    )
+    time_chunk = _pick_time_chunk(
+        t, vmem_cap, unroll, r, time_chunk, lanes_mult
+    )
     tc = time_chunk
     ns = [tc >> (d + 1) for d in range(depth)]  # stage output rows
     grid = (t // tc,)
@@ -498,22 +540,9 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
                 tr[...] = tin[...]
 
         if fastlo_in is not None:
-            # --- in-kernel fast-LO conjugate mix: one complex multiply
-            # per sample against the per-chunk coarse row.
-            caf_ref, saf_ref, cbf_ref, sbf_ref, xw_ref = mix_refs
-            cs = cs2 // 2
-            ca, sa = caf_ref[0], saf_ref[0]  # (cs, 128)
-            cb, sb = cbf_ref[...], sbf_ref[...]  # (tc, cs, 128)
-            lo_re = ca[None] * cb - sa[None] * sb
-            lo_im = sa[None] * cb + ca[None] * sb
-            if x_layout == "lanes":
-                xt = _x_rows_from_lanes(xw_ref, tc)  # (tc, 128)
-                xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
-            else:
-                xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
-            mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
-            mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
-            src_ref[...] = jnp.concatenate([mi, mq], axis=1)
+            src_ref[...] = _fastlo_mix_chunk(
+                *mix_refs, tc, cs2 // 2, x_layout
+            )
 
         for d in range(depth):
             oe_refs[2 * d][0:lns[d]] = t_refs[d][0:lns[d]]
@@ -580,19 +609,7 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
             phase0, steps, t, tc, trig_dtype=trig_dtype
         )
         xh = x.astype(jnp.float32) * jnp.float32(_fastlo.AMPLITUDE)
-        if x_layout == "lanes":
-            assert tc % 128 == 0 and t % 128 == 0
-            xw = xh.reshape(t // 128, 128)
-            x_spec = pl.BlockSpec(
-                (tc // 128, 128), lambda i: (i, i * 0),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            xw = jnp.broadcast_to(xh[:, None, None], (t, 1, 128))
-            x_spec = pl.BlockSpec(
-                (tc, 1, 128), lambda i: (i, i * 0, i * 0),
-                memory_space=pltpu.VMEM,
-            )
+        xw, x_spec = _fastlo_x_operand(xh, t, tc, x_layout)
         mix_in = [
             ca.reshape(t // tc, cs, 128), sa.reshape(t // tc, cs, 128),
             cb.reshape(tc, cs, 128), sb.reshape(tc, cs, 128), xw,
@@ -842,7 +859,10 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
     vmem_cap = max(8, (10 * 2**20) // (38 * c2))
     from .biquad_pallas import _pick_time_chunk
 
-    time_chunk = _pick_time_chunk(t, vmem_cap, unroll, d, time_chunk)
+    time_chunk = _pick_time_chunk(
+        t, vmem_cap, unroll, d, time_chunk,
+        128 if x_layout == "lanes" else 1,
+    )
     tc = time_chunk
     grid = (t // tc,)
 
@@ -855,18 +875,9 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
         def _():
             state_ref[...] = st_in_ref[...]
 
-        ca, sa = caf_ref[0], saf_ref[0]  # (cs, 128)
-        cb, sb = cbf_ref[...], sbf_ref[...]  # (tc, cs, 128)
-        lo_re = ca[None] * cb - sa[None] * sb
-        lo_im = sa[None] * cb + ca[None] * sb
-        if x_layout == "lanes":
-            xt = _x_rows_from_lanes(xw_ref, tc)  # (tc, 128)
-            xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
-        else:
-            xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
-        mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
-        mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
-        miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
+        miq_ref[...] = _fastlo_mix_chunk(
+            caf_ref, saf_ref, cbf_ref, sbf_ref, xw_ref, tc, cs, x_layout
+        )
 
         def step(j, packed):
             carry = tuple(packed[rr] for rr in range(4))
@@ -895,19 +906,7 @@ def _fastlo_df1_dec_impl(ba_static, state, phase0, steps, x, f, d,
         phase0, steps, t, tc, trig_dtype=trig_dtype
     )
     xh = x.astype(jnp.float32) * jnp.float32(_fastlo.AMPLITUDE)
-    if x_layout == "lanes":
-        assert tc % 128 == 0 and t % 128 == 0
-        xw = xh.reshape(t // 128, 128)
-        x_spec = pl.BlockSpec(
-            (tc // 128, 128), lambda i: (i, i * 0),
-            memory_space=pltpu.VMEM,
-        )
-    else:
-        xw = jnp.broadcast_to(xh[:, None, None], (t, 1, 128))
-        x_spec = pl.BlockSpec(
-            (tc, 1, 128), lambda i: (i, i * 0, i * 0),
-            memory_space=pltpu.VMEM,
-        )
+    xw, x_spec = _fastlo_x_operand(xh, t, tc, x_layout)
 
     def fixed(rr, ncs=cs2):
         return pl.BlockSpec(
@@ -1118,7 +1117,8 @@ def _fastlo_ddc_bank_impl(filt, pll_static, st_in, pst_in, phase0,
 
     vmem_cap = max(8, (10 * 2**20) // (42 * c2))
     time_chunk = _pick_time_chunk(
-        t, vmem_cap, unroll, max(d, d * pll_unroll), time_chunk
+        t, vmem_cap, unroll, max(d, d * pll_unroll), time_chunk,
+        128 if x_layout == "lanes" else 1,
     )
     tc = time_chunk
     nd = tc // d  # decimated rows per chunk
@@ -1136,18 +1136,9 @@ def _fastlo_ddc_bank_impl(filt, pll_static, st_in, pst_in, phase0,
             state_ref[...] = st_in_ref[...]
             pst_ref[...] = pst_in_ref[...]
 
-        ca, sa = caf_ref[0], saf_ref[0]
-        cb, sb = cbf_ref[...], sbf_ref[...]
-        lo_re = ca[None] * cb - sa[None] * sb
-        lo_im = sa[None] * cb + ca[None] * sb
-        if x_layout == "lanes":
-            xt = _x_rows_from_lanes(xw_ref, tc)
-            xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
-        else:
-            xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
-        mi = _fastlo.round_half_away(lo_re * xb).astype(jnp.int32)
-        mq = _fastlo.round_half_away(-(lo_im * xb)).astype(jnp.int32)
-        miq_ref[...] = jnp.concatenate([mi, mq], axis=1)
+        miq_ref[...] = _fastlo_mix_chunk(
+            caf_ref, saf_ref, cbf_ref, sbf_ref, xw_ref, tc, cs, x_layout
+        )
 
         def step(j, packed):
             carry = tuple(packed[rr] for rr in range(n_rows))
@@ -1193,19 +1184,7 @@ def _fastlo_ddc_bank_impl(filt, pll_static, st_in, pst_in, phase0,
         phase0, steps, t, tc, trig_dtype=trig_dtype
     )
     xh = x.astype(jnp.float32) * jnp.float32(_fastlo.AMPLITUDE)
-    if x_layout == "lanes":
-        assert tc % 128 == 0 and t % 128 == 0
-        xw = xh.reshape(t // 128, 128)
-        x_spec = pl.BlockSpec(
-            (tc // 128, 128), lambda i: (i, i * 0),
-            memory_space=pltpu.VMEM,
-        )
-    else:
-        xw = jnp.broadcast_to(xh[:, None, None], (t, 1, 128))
-        x_spec = pl.BlockSpec(
-            (tc, 1, 128), lambda i: (i, i * 0, i * 0),
-            memory_space=pltpu.VMEM,
-        )
+    xw, x_spec = _fastlo_x_operand(xh, t, tc, x_layout)
 
     def fixed(rr, ncs=cs2):
         return pl.BlockSpec(

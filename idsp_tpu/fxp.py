@@ -53,9 +53,11 @@ class I128(tuple):
     """An emulated 128-bit accumulator: ``(hi i64, lo u64)`` pair.
 
     The int64 `mul_wide` returns this instead of a wider dtype (XLA has
-    no i128).  ``+`` performs the limb add with carry — a bare tuple
-    would silently CONCATENATE under the accumulate-then-quantize MAC
-    pattern every `mul_wide` call site uses.
+    no i128).  ``+``/``-``/unary ``-`` perform the limb arithmetic with
+    carries — a bare tuple would silently CONCATENATE under the
+    accumulate-then-quantize MAC pattern every `mul_wide` call site
+    uses.  Registered as a JAX pytree (flattens to its two limbs) so it
+    crosses jit/scan boundaries like the plain pair it replaces.
     """
 
     __slots__ = ()
@@ -76,6 +78,28 @@ class I128(tuple):
 
     __radd__ = __add__
 
+    def __neg__(self):
+        return i128_neg(self)
+
+    def __sub__(self, other):
+        return i128_add(self, i128_neg(other))
+
+    def __rsub__(self, other):
+        return i128_add(i128_neg(self), other)
+
+
+def _register_i128():
+    import jax
+
+    jax.tree_util.register_pytree_node(
+        I128,
+        lambda v: ((v[0], v[1]), None),
+        lambda _, leaves: I128(*leaves),
+    )
+
+
+_register_i128()
+
 
 def i128_add(a, b):
     """Limb add of two (hi i64, lo u64) pairs (accepts 0 for sum())."""
@@ -89,6 +113,16 @@ def i128_add(a, b):
     return I128(
         ahi + bhi + (lo < alo).astype(jnp.int64), lo
     )
+
+
+def i128_neg(a):
+    """Two's-complement negate of a (hi i64, lo u64) pair (accepts 0)."""
+    if isinstance(a, int) and a == 0:
+        return 0
+    ahi, alo = a
+    lo = jnp.uint64(0) - alo
+    hi = -ahi - (alo != 0).astype(jnp.int64)
+    return I128(hi, lo)
 
 
 def _mul_i64_wide(a, b):

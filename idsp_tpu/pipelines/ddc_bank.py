@@ -91,8 +91,9 @@ def ddc_bank_block_biquad(
 
     Same structure as `ddc_bank_block` but the I/Q lowpass is the
     `df1_bank_q` Pallas kernel (see benches/RESULTS.md for the
-    canonical rate; c must be a multiple of 64 so the
-    stacked I|Q bank is a multiple of 128).  ``ba_q`` and ``pll_ba``
+    canonical rate; c must be a multiple of 64 so the stacked I|Q bank
+    is a multiple of 128 — except lo_mode="one_kernel", whose PLL
+    state tiles need c itself to be a multiple of 128).  ``ba_q`` and ``pll_ba``
     are STATIC tuples of ints (the kernels bake coefficients as
     constants; use `df1_bank_q_coef` for runtime retune).
 
@@ -190,7 +191,9 @@ def ddc_bank_block_biquad(
 
 
 @partial(
-    jax.jit, static_argnames=("decimate", "lp_gains", "pll_ba", "lo_mode")
+    jax.jit,
+    static_argnames=("decimate", "lp_gains", "pll_ba", "lo_mode",
+                     "interpret"),
 )
 def ddc_bank_block(
     state: DdcBankState,
@@ -201,6 +204,7 @@ def ddc_bank_block(
     *,
     decimate: int = 16,
     lo_mode: str = "exact",
+    interpret: bool = False,
 ):
     """Process one block. x: (t,) i32 wideband samples; t must be a
     multiple of `decimate`.
@@ -230,6 +234,7 @@ def ddc_bank_block(
         lp_iq, pll_state, _ph, yiq_d, y_pll = fastlo_ddc_bank_block_lp(
             tuple(int(v) for v in lp_gains), pll_ba, lp_iq, state.pll,
             state.nco_phase, nco_steps, x, n=n_lp, d=decimate,
+            interpret=interpret,
         )
         yi_d, yq_d = yiq_d[:, :c], yiq_d[:, c:]
         new_state = DdcBankState(

@@ -169,3 +169,35 @@ def test_mul_wide_i64_accumulate_quantize():
         p = 3 * int(a[i]) * int(b[i])
         want = ((p >> 61) & ((1 << 64) - 1) ^ (1 << 63)) - (1 << 63)
         assert int(got2[i]) == want
+
+
+def test_i128_pytree_and_subtraction():
+    # I128 crosses jit boundaries (registered pytree) and supports the
+    # subtracting MAC pattern (complex.mul_q's `ar - ai`).
+    import jax as _jax
+
+    a = jnp.asarray([0x7FFF_FFFF_FFFF_0001, -3], jnp.int64)
+    b = jnp.asarray([0x6EDC_BA98_7654_3210, 5], jnp.int64)
+    acc = _jax.jit(lambda a, b: fxp.mul_wide(a, b, dtype=jnp.int64))(a, b)
+    assert isinstance(acc, fxp.I128)
+    d = fxp.mul_wide(a, b, dtype=jnp.int64) - fxp.mul_wide(
+        b, b, dtype=jnp.int64
+    )
+    got = np.asarray(fxp.quantize(d, 61, dtype=jnp.int64))
+    for i in range(2):
+        p = int(a[i]) * int(b[i]) - int(b[i]) * int(b[i])
+        want = ((p >> 61) & ((1 << 64) - 1) ^ (1 << 63)) - (1 << 63)
+        assert int(got[i]) == want
+    # int64 complex late-quantize multiply end to end
+    from idsp_tpu.ops import complex as cplx
+
+    re, im = cplx.mul_q(
+        jnp.asarray([1 << 40], jnp.int64),
+        jnp.asarray([-(1 << 39)], jnp.int64),
+        jnp.asarray([1 << 20], jnp.int64),
+        jnp.asarray([1 << 19], jnp.int64),
+        61, dtype=jnp.int64,
+    )
+    pr = (1 << 60) + (1 << 58)
+    pi = (1 << 59) - (1 << 59)
+    assert int(re[0]) == (pr >> 61) and int(im[0]) == (pi >> 61)
