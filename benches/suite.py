@@ -81,6 +81,7 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+    from idsp_tpu import fxp
     from idsp_tpu.design import Filter
     from idsp_tpu.filters import biquad, cic, hbf, lowpass, pll, wdf
     from idsp_tpu.ops.trig import atan2, cossin
@@ -458,6 +459,60 @@ def main(argv=None):
             "pll bank (pallas)",
             lambda st, xs: pll_bank(pba, st, xs, time_chunk=tc),
             pll.init((c,)), phases,
+        )
+
+    # ---- SVF / normal-form / RPLL banks ----
+    from idsp_tpu.filters import normal, rpll, svf
+
+    svf_f, svf_qi = svf.coefficients(0.01, 0.7)
+    run_trials(
+        "svf bank (scan)",
+        jax.jit(lambda st, xs: svf.block(svf_f, svf_qi, st, xs)),
+        svf.init((c,), jnp.float32), xs_f32,
+    )
+    nb, npole = normal.from_cookbook(
+        Filter().critical_frequency(0.06).lowpass()
+    )
+    nb_q = np.asarray(fxp.from_float(jnp.asarray(nb), 29))
+    np_q = np.asarray(fxp.from_float(jnp.asarray(npole), 29))
+    run_trials(
+        "normal form q32 (scan)",
+        scan_of(
+            lambda b, p, s, x: normal.step_q(b, p, 29, s, x),
+            jnp.asarray(nb_q), jnp.asarray(np_q),
+        ),
+        normal.init((c,), jnp.int32), xs_i,
+    )
+    rcfg = rpll.RpllConfig(dt2=8, shift_frequency=12, shift_phase=11)
+    r_valids = jnp.asarray(
+        rng.integers(0, 64, size=(t, c), dtype=np.int64) == 0
+    )
+    run_trials(
+        "rpll bank (scan)",
+        jax.jit(lambda st, xs, v: rpll.block(rcfg, st, xs, v)),
+        rpll.init((c,)), phases, r_valids,
+    )
+    if c % 128 == 0:
+        from idsp_tpu.filters.normal_pallas import normal_bank_q
+        from idsp_tpu.filters.rpll_pallas import rpll_bank
+        from idsp_tpu.filters.svf_pallas import svf_bank
+
+        run_trials(
+            "svf bank (pallas)",
+            lambda st, xs: svf_bank(svf_f, svf_qi, st, xs, time_chunk=tc),
+            svf.init((c,), jnp.float32), xs_f32,
+        )
+        run_trials(
+            "normal form q32 (pallas)",
+            lambda st, xs: normal_bank_q(
+                nb_q, np_q, st, xs, 29, time_chunk=tc, unroll=4
+            ),
+            normal.init((c,), jnp.int32), xs_i,
+        )
+        run_trials(
+            "rpll bank (pallas)",
+            lambda st, xs, v: rpll_bank(rcfg, st, xs, v, time_chunk=tc),
+            rpll.init((c,)), phases, r_valids,
         )
 
     # ---- FIR / HBF (hbf.rs:29-54) ----

@@ -440,6 +440,56 @@ def main():
     check("wdf_pair_bank ca-19 sum", s_pl, s_ref)
     check("wdf_pair_bank ca-19 diff", d_pl, d_ref)
 
+    # SVF / normal-form / RPLL banks (round-3 structure kernels)
+    from idsp_tpu import fxp
+    from idsp_tpu.filters import normal, rpll, svf
+    from idsp_tpu.filters.normal_pallas import normal_bank_q
+    from idsp_tpu.filters.rpll_pallas import rpll_bank
+    from idsp_tpu.filters.svf_pallas import svf_bank
+
+    svf_f, svf_qi = svf.coefficients(0.04, 1.3)
+    xs_f = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    svst = svf.init((c,), jnp.float32)
+    _, svf_out = svf.block(
+        jnp.float32(svf_f), jnp.float32(svf_qi), svst, xs_f, unroll=1
+    )
+    _, svf_pl = svf_bank(svf_f, svf_qi, svst, xs_f, time_chunk=128)
+    # float kernel: FMA contraction differs between Mosaic and XLA
+    # graphs (CLAUDE.md round-3 lessons) — gate at 2 ULP of the scale
+    svf_err = np.max(np.abs(np.asarray(svf_pl) - np.asarray(svf_out.lp)))
+    svf_ok = bool(
+        svf_err <= 2.4e-7 * max(1.0, float(np.max(np.abs(svf_out.lp))))
+    )
+    ok = ok and svf_ok
+    print(f"svf_bank (<=2 ULP)                 "
+          f"{'OK' if svf_ok else 'MISMATCH'}", flush=True)
+
+    nb, npole = normal.from_cookbook(
+        Filter().critical_frequency(0.06).lowpass()
+    )
+    nb_q = np.asarray(fxp.from_float(jnp.asarray(nb), 29))
+    np_q = np.asarray(fxp.from_float(jnp.asarray(npole), 29))
+    nst = normal.init((c,), jnp.int32)
+    _, n_ref = jax.lax.scan(
+        lambda s, x: normal.step_q(
+            jnp.asarray(nb_q), jnp.asarray(np_q), 29, s, x
+        ),
+        nst, xs,
+    )
+    nst_pl, n_pl = normal_bank_q(nb_q, np_q, nst, xs, 29, time_chunk=128)
+    check("normal_bank_q", n_pl, n_ref)
+
+    rcfg = rpll.RpllConfig(dt2=8, shift_frequency=12, shift_phase=11)
+    r_x = ri32((t, c))
+    r_v = jnp.asarray(
+        rng.integers(0, 16, size=(t, c), dtype=np.int64) == 0
+    )
+    rst = rpll.init((c,))
+    _, (ry_ref, rf_ref) = rpll.block(rcfg, rst, r_x, r_v)
+    _, (ry_pl, rf_pl) = rpll_bank(rcfg, rst, r_x, r_v, time_chunk=128)
+    check("rpll_bank phase", ry_pl, ry_ref)
+    check("rpll_bank freq", rf_pl, rf_ref)
+
     # RDMA halo kernel: single-chip self-copy ring — compiles the
     # Mosaic semaphore/DMA path on real hardware (multi-chip day-one
     # lowering smoke; VERDICT r2 weak #5)
