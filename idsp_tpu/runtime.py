@@ -1,0 +1,244 @@
+"""Host streaming runtime: native ring buffer + overlapped block executor.
+
+The reference crate is the DSP core of streaming instruments
+(README.md:12): samples arrive from an acquisition DMA in fixed blocks
+and every filter carries its state across block boundaries
+(src/hbf.rs:93-101, dsp-process/src/process.rs:69-92).  This module is
+the TPU framework's host-side equivalent of that acquisition runtime:
+
+* `RingBuffer` — a native single-producer/single-consumer lock-free
+  byte ring (native/stream_rt.c, C11 atomics).  ctypes calls release
+  the GIL, so a Python producer thread and the consumer overlap for
+  real; the producer slot is equally callable from a C acquisition
+  driver.
+* `StreamExecutor` — pops fixed-size blocks, feeds them through any
+  jitted ``block_fn(state, xs) -> (state, ys)`` (every filter in this
+  package has that signature), carries the state pytree across blocks,
+  and keeps a bounded number of dispatches in flight so host ingest,
+  host->device transfer, and device compute overlap (JAX dispatch is
+  asynchronous).
+
+Block-boundary semantics are exactly the package-wide carried-state
+contract, so a streamed run is bit-identical to a one-shot run over the
+concatenated input — equivalence-tested in tests/test_runtime.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from collections import deque
+from functools import lru_cache
+
+import jax
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+
+
+@lru_cache(maxsize=None)
+def _lib() -> ctypes.CDLL:
+    src = os.path.join(_NATIVE_DIR, "stream_rt.c")
+    so = os.path.join(_NATIVE_DIR, "libstreamrt.so")
+    # content-hash rebuild stamp (same scheme as golden.py: mtimes are
+    # unreliable after a git checkout)
+    flags = ["-O2", "-shared", "-fPIC"]
+    with open(src, "rb") as fh:
+        digest = hashlib.sha256(
+            fh.read() + " ".join(flags).encode()
+        ).hexdigest()
+    stamp = so + ".sha256"
+    stale = True
+    if os.path.exists(so) and os.path.exists(stamp):
+        with open(stamp) as fh:
+            stale = fh.read().strip() != digest
+    if stale:
+        subprocess.run(
+            ["cc", *flags, "-o", so, src, "-lpthread"], check=True
+        )
+        with open(stamp, "w") as fh:
+            fh.write(digest + "\n")
+    lib = ctypes.CDLL(so)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rb_create.argtypes = [ctypes.c_uint64]
+    lib.rb_create.restype = ctypes.c_void_p
+    lib.rb_destroy.argtypes = [ctypes.c_void_p]
+    lib.rb_capacity.argtypes = [ctypes.c_void_p]
+    lib.rb_capacity.restype = ctypes.c_uint64
+    lib.rb_readable.argtypes = [ctypes.c_void_p]
+    lib.rb_readable.restype = ctypes.c_uint64
+    lib.rb_writable.argtypes = [ctypes.c_void_p]
+    lib.rb_writable.restype = ctypes.c_uint64
+    lib.rb_close.argtypes = [ctypes.c_void_p]
+    lib.rb_closed.argtypes = [ctypes.c_void_p]
+    lib.rb_closed.restype = ctypes.c_int
+    lib.rb_write.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.rb_write.restype = ctypes.c_uint64
+    lib.rb_read.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint64]
+    lib.rb_read.restype = ctypes.c_uint64
+    lib.rb_write_all.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_uint64, ctypes.c_int64,
+    ]
+    lib.rb_write_all.restype = ctypes.c_int
+    lib.rb_read_all.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_uint64, ctypes.c_int64,
+    ]
+    lib.rb_read_all.restype = ctypes.c_int
+    return lib
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class RingBuffer:
+    """SPSC byte ring over the native library; numpy in/out.
+
+    Writes and reads are all-or-nothing (never partial), so
+    fixed-size frame boundaries survive wrap-around.
+    """
+
+    def __init__(self, capacity_bytes: int):
+        self._lib = _lib()
+        self._rb = self._lib.rb_create(int(capacity_bytes))
+        if not self._rb:
+            raise MemoryError("rb_create failed")
+
+    @property
+    def capacity(self) -> int:
+        return int(self._lib.rb_capacity(self._rb))
+
+    @property
+    def readable(self) -> int:
+        return int(self._lib.rb_readable(self._rb))
+
+    @property
+    def writable(self) -> int:
+        return int(self._lib.rb_writable(self._rb))
+
+    def close(self):
+        """Producer-side EOF: readers drain what remains, then stop."""
+        self._lib.rb_close(self._rb)
+
+    @property
+    def closed(self) -> bool:
+        return bool(self._lib.rb_closed(self._rb))
+
+    def try_write(self, arr: np.ndarray) -> bool:
+        arr = np.ascontiguousarray(arr)
+        return bool(self._lib.rb_write(self._rb, _u8ptr(arr), arr.nbytes))
+
+    def write(self, arr: np.ndarray, timeout: float | None = None) -> bool:
+        """Blocking write of the whole array (GIL released in C)."""
+        arr = np.ascontiguousarray(arr)
+        to = -1 if timeout is None else int(timeout * 1e6)
+        return bool(
+            self._lib.rb_write_all(self._rb, _u8ptr(arr), arr.nbytes, to)
+        )
+
+    def read(self, n_items: int, dtype, timeout: float | None = None):
+        """Blocking read of exactly n_items of dtype; None on EOF/timeout."""
+        out = np.empty(n_items, dtype=dtype)
+        to = -1 if timeout is None else int(timeout * 1e6)
+        ok = self._lib.rb_read_all(self._rb, _u8ptr(out), out.nbytes, to)
+        return out if ok else None
+
+    def __del__(self):
+        rb = getattr(self, "_rb", None)
+        if rb:
+            self._lib.rb_destroy(rb)
+            self._rb = None
+
+
+class StreamExecutor:
+    """Pump ring-buffer blocks through a jitted stage, carrying state.
+
+    Args:
+      block_fn: jitted ``(state, xs) -> (state, ys)`` (the package-wide
+        stage signature; ys may be any pytree).
+      state: initial state pytree.
+      block_shape: shape of one input block (e.g. ``(t, c)``).
+      dtype: input sample dtype.
+      ring_blocks: ring capacity in blocks.
+      max_inflight: dispatched-but-unsynced block budget — bounds device
+        queue depth and host output memory while keeping transfer and
+        compute overlapped.
+      timeout: max seconds to wait for a block before treating the
+        stream as stalled (raises TimeoutError); EOF (producer closed
+        and drained) ends the run cleanly.
+    """
+
+    def __init__(self, block_fn, state, block_shape, dtype=np.int32, *,
+                 ring_blocks: int = 8, max_inflight: int = 2,
+                 timeout: float = 30.0):
+        self.block_fn = block_fn
+        self.state = state
+        self.block_shape = tuple(block_shape)
+        self.dtype = np.dtype(dtype)
+        self.timeout = float(timeout)
+        self.max_inflight = int(max_inflight)
+        self.blocks_processed = 0
+        n_items = int(np.prod(self.block_shape))
+        self.ring = RingBuffer(ring_blocks * n_items * self.dtype.itemsize)
+        self._n_items = n_items
+
+    def run(self, n_blocks: int | None = None, collect: bool = True):
+        """Consume up to n_blocks (or until EOF), return (state, ys).
+
+        ``ys`` is the list of per-block outputs when ``collect``, else
+        None (monitor use: keep only the carried state).
+        """
+        outputs: list = []
+        pending: deque = deque()
+        k = 0
+        while n_blocks is None or k < n_blocks:
+            buf = self.ring.read(self._n_items, self.dtype,
+                                 timeout=self.timeout)
+            if buf is None:
+                if self.ring.closed:
+                    break  # EOF: drained
+                raise TimeoutError(
+                    f"no block after {self.timeout}s (ring stalled)"
+                )
+            x = buf.reshape(self.block_shape)
+            self.state, y = self.block_fn(self.state, x)
+            self.blocks_processed += 1
+            k += 1
+            if collect:
+                outputs.append(y)
+            pending.append(y)
+            # bound in-flight dispatches: sync the oldest once the
+            # window is full (dispatch stays async inside the window)
+            while len(pending) > self.max_inflight:
+                jax.block_until_ready(pending.popleft())
+        jax.block_until_ready(self.state)
+        return self.state, (outputs if collect else None)
+
+
+def producer_thread(ring: RingBuffer, samples: np.ndarray, *,
+                    chunk_items: int = 1000, close: bool = True,
+                    timeout: float = 30.0) -> threading.Thread:
+    """Feed a sample array into the ring from a daemon thread in
+    irregular chunks (exercises wrap-around; stands in for an
+    acquisition driver).  Returns the started thread."""
+    samples = np.ascontiguousarray(samples)
+    flat = samples.reshape(-1)
+
+    def work():
+        i = 0
+        n = flat.size
+        step = max(1, int(chunk_items))
+        while i < n:
+            j = min(n, i + step)
+            if not ring.write(flat[i:j], timeout=timeout):
+                return
+            i = j
+        if close:
+            ring.close()
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    return th

@@ -1,0 +1,156 @@
+"""Host streaming runtime: native ring buffer + StreamExecutor.
+
+The streamed run must be bit-identical to the one-shot run over the
+concatenated input — the package-wide carried-state block contract
+(the reference's explicit block-edge state carry, src/hbf.rs:93-101).
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idsp_tpu.design import Filter
+from idsp_tpu.filters import biquad
+from idsp_tpu.runtime import RingBuffer, StreamExecutor, producer_thread
+
+
+def test_ringbuffer_roundtrip_and_wraparound():
+    rb = RingBuffer(256)  # rounds to a small power of two
+    cap = rb.capacity
+    assert cap >= 256 and rb.writable == cap and rb.readable == 0
+
+    data = np.arange(50, dtype=np.int32)
+    assert rb.try_write(data)
+    assert rb.readable == data.nbytes
+    out = rb.read(50, np.int32, timeout=1.0)
+    np.testing.assert_array_equal(out, data)
+    assert rb.readable == 0
+
+    # force wrap-around: repeatedly write/read chunks whose size does
+    # not divide the capacity
+    chunk = np.arange(13, dtype=np.int32)
+    for k in range(40):
+        assert rb.try_write(chunk + 100 * k)
+        got = rb.read(13, np.int32, timeout=1.0)
+        np.testing.assert_array_equal(got, chunk + 100 * k)
+
+    # oversize write must be rejected whole (all-or-nothing)
+    too_big = np.zeros(cap // 4 + 1, np.int32)
+    while rb.try_write(np.zeros(64, np.int32)):
+        pass  # fill up
+    assert not rb.try_write(too_big)
+
+
+def test_ringbuffer_eof_semantics():
+    rb = RingBuffer(1024)
+    rb.try_write(np.arange(8, dtype=np.int32))
+    rb.close()
+    # drains what remains...
+    np.testing.assert_array_equal(
+        rb.read(8, np.int32, timeout=1.0), np.arange(8, dtype=np.int32)
+    )
+    # ...then reports EOF instead of blocking
+    assert rb.read(8, np.int32, timeout=1.0) is None
+
+
+def test_ringbuffer_threaded_producer():
+    # ring must hold a full read quantum (1000 items) plus an in-flight
+    # producer chunk (777) — writes/reads are all-or-nothing
+    rb = RingBuffer(16384)
+    total = np.arange(100_000, dtype=np.int32)
+    th = producer_thread(rb, total, chunk_items=777)
+    got = []
+    while True:
+        buf = rb.read(1000, np.int32, timeout=10.0)
+        if buf is None:
+            break
+        got.append(buf)
+    th.join(timeout=10.0)
+    np.testing.assert_array_equal(np.concatenate(got), total)
+
+
+def test_stream_executor_bitexact_vs_oneshot():
+    c, tb, nb = 64, 128, 10
+    rng = np.random.default_rng(21)
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.05).lowpass()),
+            29,
+        )
+    )
+    xs = rng.integers(
+        -(2**27), 2**27, size=(nb * tb, c), dtype=np.int64
+    ).astype(np.int32)
+
+    # one-shot reference over the concatenated stream
+    st_ref, ys_ref = biquad.df1_process_q(
+        ba_q, 29, biquad.df1_init((c,), jnp.int32), jnp.asarray(xs)
+    )
+
+    block_fn = jax.jit(lambda s, x: biquad.df1_process_q(ba_q, 29, s, x))
+    ex = StreamExecutor(
+        block_fn, biquad.df1_init((c,), jnp.int32), (tb, c),
+        dtype=np.int32, ring_blocks=4, max_inflight=2, timeout=20.0,
+    )
+    producer_thread(ex.ring, xs, chunk_items=941)  # irregular chunks
+    st, ys = ex.run()
+
+    assert ex.blocks_processed == nb
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(y) for y in ys]), np.asarray(ys_ref)
+    )
+    np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st_ref.y))
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(st_ref.x))
+
+
+def test_stream_executor_timeout_on_stall():
+    ex = StreamExecutor(
+        jax.jit(lambda s, x: (s, x)), jnp.zeros(()), (16, 4),
+        dtype=np.int32, timeout=0.2,
+    )
+    t0 = time.perf_counter()
+    try:
+        ex.run(n_blocks=1)
+        raise AssertionError("expected TimeoutError")
+    except TimeoutError:
+        pass
+    assert time.perf_counter() - t0 < 5.0
+
+
+def test_stream_executor_overlap_monitor_mode():
+    # collect=False keeps only the carried state (monitor/telemetry use)
+    c, tb, nb = 64, 64, 6
+    rng = np.random.default_rng(22)
+    xs = rng.integers(-(2**20), 2**20, size=(nb * tb, c),
+                      dtype=np.int64).astype(np.int32)
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.1).lowpass()),
+            29,
+        )
+    )
+    block_fn = jax.jit(lambda s, x: biquad.df1_process_q(ba_q, 29, s, x))
+    ex = StreamExecutor(
+        block_fn, biquad.df1_init((c,), jnp.int32), (tb, c),
+        dtype=np.int32, timeout=20.0,
+    )
+
+    # slow producer on a thread: the executor must wait, not misread
+    def slow_feed():
+        for k in range(nb):
+            time.sleep(0.02)
+            ex.ring.write(xs[k * tb:(k + 1) * tb], timeout=10.0)
+        ex.ring.close()
+
+    th = threading.Thread(target=slow_feed, daemon=True)
+    th.start()
+    st, ys = ex.run(collect=False)
+    th.join(timeout=10.0)
+    assert ys is None and ex.blocks_processed == nb
+    st_ref, _ = biquad.df1_process_q(
+        ba_q, 29, biquad.df1_init((c,), jnp.int32), jnp.asarray(xs)
+    )
+    np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st_ref.y))
