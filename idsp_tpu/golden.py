@@ -76,6 +76,14 @@ def _lib() -> ctypes.CDLL:
         i64p, ctypes.c_int, i64p, i64p, i64p, ctypes.c_int64,
     ]
     lib.golden_pll.argtypes = [i32p, i32p, i64p, i32p, i32p, ctypes.c_int64]
+    lib.golden_normal_q.argtypes = [
+        i32p, i32p, ctypes.c_int, i32p, i32p, i32p, ctypes.c_int64,
+    ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.golden_rpll.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, u8p,
+        i32p, i32p, ctypes.c_int64,
+    ]
     return lib
 
 
@@ -183,6 +191,36 @@ def biquad_df1_q64(ba, f, state, x):
         _ptr(x, ctypes.c_int64), _ptr(y, ctypes.c_int64), x.size,
     )
     return state, y
+
+
+def normal_q(b, p, f, state, x):
+    """Normal-form (Rader-Gold) SOS; state int32[4] = [x1, x2, y0, y1],
+    mutated in place."""
+    b = _as_i32(b)
+    p = _as_i32(p)
+    state = _as_i32(state)
+    x = _as_i32(x)
+    y = np.empty_like(x)
+    _lib().golden_normal_q(
+        _ptr(b), _ptr(p), int(f), _ptr(state), _ptr(x), _ptr(y), x.size
+    )
+    return state, y
+
+
+def rpll(dt2, sf, sp, state, x, valid):
+    """RPLL masked-timestamp loop; state int32[4] = [x_prev, ff, f, y]
+    (ff/f as u32 bit patterns), mutated in place.  Returns
+    (state, phase, frequency)."""
+    state = _as_i32(state)
+    x = _as_i32(x)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    phase = np.empty_like(x)
+    freq = np.empty_like(x)
+    _lib().golden_rpll(
+        int(dt2), int(sf), int(sp), _ptr(state), _ptr(x),
+        _ptr(valid, ctypes.c_uint8), _ptr(phase), _ptr(freq), x.size,
+    )
+    return state, phase, freq
 
 
 def pll(ba, st32, st64, x):

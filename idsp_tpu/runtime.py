@@ -185,11 +185,26 @@ class StreamExecutor:
         self.ring = RingBuffer(ring_blocks * n_items * self.dtype.itemsize)
         self._n_items = n_items
 
-    def run(self, n_blocks: int | None = None, collect: bool = True):
+    def _drain_oldest(self, pending: deque, out_ring):
+        """Sync the oldest in-flight output; forward it downstream."""
+        y = pending.popleft()
+        jax.block_until_ready(y)
+        if out_ring is not None:
+            for leaf in jax.tree_util.tree_leaves(y):
+                if not out_ring.write(np.asarray(leaf),
+                                      timeout=self.timeout):
+                    raise TimeoutError("output ring stalled (consumer?)")
+
+    def run(self, n_blocks: int | None = None, collect: bool = True,
+            out_ring: RingBuffer | None = None):
         """Consume up to n_blocks (or until EOF), return (state, ys).
 
         ``ys`` is the list of per-block outputs when ``collect``, else
-        None (monitor use: keep only the carried state).
+        None (monitor use: keep only the carried state).  With
+        ``out_ring``, each synced block's output leaves are written to
+        that ring in pytree order (duplex streaming: a downstream
+        consumer thread drains results while upstream blocks compute);
+        the ring is closed when the run ends.
         """
         outputs: list = []
         pending: deque = deque()
@@ -213,7 +228,11 @@ class StreamExecutor:
             # bound in-flight dispatches: sync the oldest once the
             # window is full (dispatch stays async inside the window)
             while len(pending) > self.max_inflight:
-                jax.block_until_ready(pending.popleft())
+                self._drain_oldest(pending, out_ring)
+        while pending:
+            self._drain_oldest(pending, out_ring)
+        if out_ring is not None:
+            out_ring.close()
         jax.block_until_ready(self.state)
         return self.state, (outputs if collect else None)
 

@@ -287,3 +287,62 @@ void golden_q_mul(const int32_t *a, const int32_t *b, int f, int32_t *out,
         out[k] = (int32_t)(((int64_t)a[k] * (int64_t)b[k]) >> f);
     }
 }
+
+/* ---------- normal form (Rader-Gold coupled SOS, normal.rs:38-58) ---------- */
+
+/* state = [x1, x2, y0, y1]; y0/y1 are the rotating I/Q components.
+ * Two truncating-shift quantizations per sample, both reading the OLD
+ * rotating state (matches idsp_tpu.filters.normal.step_q). */
+void golden_normal_q(const int32_t b[3], const int32_t p[2], int f,
+                     int32_t *state, const int32_t *x, int32_t *y_out,
+                     int64_t n) {
+    int32_t x1 = state[0], x2 = state[1], y0 = state[2], y1 = state[3];
+    for (int64_t k = 0; k < n; k++) {
+        int32_t x0 = x[k];
+        int64_t acc1 = (int64_t)b[0] * x0 + (int64_t)b[1] * x1 +
+                       (int64_t)b[2] * x2 + (int64_t)p[0] * y1 -
+                       (int64_t)p[1] * y0;
+        int32_t y1n = (int32_t)(acc1 >> f);
+        int64_t acc0 = (int64_t)p[1] * y1 + (int64_t)p[0] * y0;
+        int32_t y0n = (int32_t)(acc0 >> f);
+        x2 = x1; x1 = x0; y0 = y0n; y1 = y1n;
+        y_out[k] = y0n;
+    }
+    state[0] = x1; state[1] = x2; state[2] = y0; state[3] = y1;
+}
+
+/* ---------- RPLL (rpll.rs:47-77) ---------- */
+
+/* st = [x_prev, ff, f, y] (ff/f are u32 bit patterns).  valid[k] marks
+ * update cycles that carry a timestamp; the phase always advances.
+ * Mirrors idsp_tpu.filters.rpll.step (masked-stream formulation). */
+void golden_rpll(int dt2, int sf, int sp, int32_t *st, const int32_t *x_in,
+                 const uint8_t *valid, int32_t *phase_out, int32_t *freq_out,
+                 int64_t n) {
+    int32_t x_prev = st[0];
+    uint32_t ff = (uint32_t)st[1];
+    uint32_t f = (uint32_t)st[2];
+    int32_t y = st[3];
+    uint32_t p_ref = (uint32_t)(((uint64_t)1 << (32 + dt2 - sf)) &
+                                0xFFFFFFFFu);
+    uint32_t dt_mask = (uint32_t)((1u << dt2) - 1u);
+    for (int64_t k = 0; k < n; k++) {
+        int32_t x = x_in[k];
+        y = (int32_t)((uint32_t)y + f); /* advance phase */
+        int32_t dx = (int32_t)((uint32_t)x - (uint32_t)x_prev);
+        /* frequency lock: reference phase over dx, rounded half up */
+        uint64_t p_sig64 = (uint64_t)ff * (uint64_t)(uint32_t)dx;
+        uint32_t p_sig =
+            (uint32_t)((p_sig64 + ((uint64_t)1 << (sf - 1))) >> sf);
+        uint32_t ff2 = ff + (p_ref - p_sig);
+        /* phase lock: predicted "now" phase with the pre-update f */
+        uint32_t dt = (uint32_t)(-(uint32_t)x) & dt_mask;
+        int32_t y_ref = (int32_t)((f >> dt2) * dt);
+        int32_t dy = (int32_t)((uint32_t)y_ref - (uint32_t)y) >> (sp - dt2);
+        uint32_t f2 = ff2 + (uint32_t)dy;
+        if (valid[k]) { x_prev = x; ff = ff2; f = f2; }
+        phase_out[k] = y;
+        freq_out[k] = (int32_t)f;
+    }
+    st[0] = x_prev; st[1] = (int32_t)ff; st[2] = (int32_t)f; st[3] = y;
+}

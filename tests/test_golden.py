@@ -222,3 +222,65 @@ def test_pll_bitexact_vs_golden():
         pba, np.zeros(5, np.int32), np.zeros(2, np.int64), x
     )
     np.testing.assert_array_equal(np.asarray(yj), yg)
+
+
+def test_normal_q_bitexact_vs_golden():
+    import jax
+
+    from idsp_tpu import fxp
+    from idsp_tpu.filters import normal
+
+    rng = np.random.default_rng(15)
+    b, p = normal.from_cookbook(Filter().critical_frequency(0.06).lowpass())
+    f = 29
+    b_q = np.asarray(fxp.from_float(jnp.asarray(b), f)).astype(np.int32)
+    p_q = np.asarray(fxp.from_float(jnp.asarray(p), f)).astype(np.int32)
+    x = rng.integers(-(2**27), 2**27, size=2048, dtype=np.int64).astype(
+        np.int32
+    )
+    st = normal.init((), jnp.int32)
+    _, yj = jax.lax.scan(
+        lambda s, v: normal.step_q(
+            jnp.asarray(b_q), jnp.asarray(p_q), f, s, v
+        ),
+        st, jnp.asarray(x),
+    )
+    _, yg = golden.normal_q(b_q, p_q, f, np.zeros(4, np.int32), x)
+    np.testing.assert_array_equal(np.asarray(yj), yg)
+
+    # full-range coefficient/input fuzz (wrap behavior)
+    for trial in range(5):
+        b_r = rng.integers(-(2**31), 2**31, size=3, dtype=np.int64).astype(
+            np.int32
+        )
+        p_r = rng.integers(
+            -(2**31) + 1, 2**31, size=2, dtype=np.int64
+        ).astype(np.int32)  # p_im != i32::MIN (no negation)
+        f_r = int(rng.integers(1, 31))
+        x_r = _rand_i32(rng, 256)
+        _, yj = jax.lax.scan(
+            lambda s, v: normal.step_q(
+                jnp.asarray(b_r), jnp.asarray(p_r), f_r, s, v
+            ),
+            st, jnp.asarray(x_r),
+        )
+        _, yg = golden.normal_q(b_r, p_r, f_r, np.zeros(4, np.int32), x_r)
+        np.testing.assert_array_equal(np.asarray(yj), yg, err_msg=f"t{trial}")
+
+
+def test_rpll_bitexact_vs_golden():
+    from idsp_tpu.filters import rpll
+
+    rng = np.random.default_rng(16)
+    cfg = rpll.RpllConfig(dt2=8, shift_frequency=12, shift_phase=11)
+    n = 2048
+    x = _rand_i32(rng, n)
+    valid = rng.integers(0, 8, size=n) == 0
+    st = rpll.init(())
+    _, (yj, fj) = rpll.block(cfg, st, jnp.asarray(x), jnp.asarray(valid))
+    _, yg, fg = golden.rpll(
+        cfg.dt2, cfg.shift_frequency, cfg.shift_phase,
+        np.zeros(4, np.int32), x, valid,
+    )
+    np.testing.assert_array_equal(np.asarray(yj), yg)
+    np.testing.assert_array_equal(np.asarray(fj), fg)

@@ -154,3 +154,89 @@ def test_stream_executor_overlap_monitor_mode():
         ba_q, 29, biquad.df1_init((c,), jnp.int32), jnp.asarray(xs)
     )
     np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st_ref.y))
+
+
+def test_stream_executor_duplex_out_ring():
+    # duplex: a consumer thread drains results from an output ring
+    # while the executor computes — byte stream equals the one-shot run
+    c, tb, nb = 64, 64, 8
+    rng = np.random.default_rng(23)
+    xs = rng.integers(-(2**26), 2**26, size=(nb * tb, c),
+                      dtype=np.int64).astype(np.int32)
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.08).lowpass()),
+            29,
+        )
+    )
+    block_fn = jax.jit(lambda s, x: biquad.df1_process_q(ba_q, 29, s, x))
+    ex = StreamExecutor(
+        block_fn, biquad.df1_init((c,), jnp.int32), (tb, c),
+        dtype=np.int32, timeout=20.0,
+    )
+    from idsp_tpu.runtime import RingBuffer as RB
+
+    out_ring = RB(4 * tb * c * 4)
+    drained = []
+
+    def consume():
+        while True:
+            buf = out_ring.read(tb * c, np.int32, timeout=10.0)
+            if buf is None:
+                return
+            drained.append(buf.reshape(tb, c))
+
+    th_c = threading.Thread(target=consume, daemon=True)
+    th_c.start()
+    producer_thread(ex.ring, xs, chunk_items=1333)
+    st, _ = ex.run(collect=False, out_ring=out_ring)
+    th_c.join(timeout=20.0)
+
+    _, ys_ref = biquad.df1_process_q(
+        ba_q, 29, biquad.df1_init((c,), jnp.int32), jnp.asarray(xs)
+    )
+    assert len(drained) == nb
+    np.testing.assert_array_equal(
+        np.concatenate(drained), np.asarray(ys_ref)
+    )
+
+
+def test_stream_executor_with_channel_sharding():
+    # the executor composes with mesh sharding: the jitted stage runs
+    # channel-sharded over the 8-device CPU mesh, streamed == one-shot
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from idsp_tpu.parallel import make_mesh
+
+    c, tb, nb = 128, 64, 6
+    mesh = make_mesh({"dp": 8})
+    shard = NamedSharding(mesh, P(None, "dp"))
+    rng = np.random.default_rng(24)
+    xs = rng.integers(-(2**26), 2**26, size=(nb * tb, c),
+                      dtype=np.int64).astype(np.int32)
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.03).lowpass()),
+            29,
+        )
+    )
+
+    @jax.jit
+    def block_fn(s, x):
+        return biquad.df1_process_q(
+            ba_q, 29, s, jax.lax.with_sharding_constraint(x, shard)
+        )
+
+    ex = StreamExecutor(
+        block_fn, biquad.df1_init((c,), jnp.int32), (tb, c),
+        dtype=np.int32, timeout=20.0,
+    )
+    producer_thread(ex.ring, xs)
+    st, ys = ex.run()
+    st_ref, ys_ref = biquad.df1_process_q(
+        ba_q, 29, biquad.df1_init((c,), jnp.int32), jnp.asarray(xs)
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(y) for y in ys]), np.asarray(ys_ref)
+    )
+    np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st_ref.y))
