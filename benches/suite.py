@@ -641,6 +641,17 @@ def main(argv=None):
 
     run_trials("fm receiver bank", jax.jit(run_fm),
                fm_disc.init_state((c,)), re_fm, im_fm)
+    if c % 128 == 0:
+        from idsp_tpu.filters.fm_pallas import fm_disc_bank
+
+        ba_fm_np = np.asarray(ba_fm)
+        run_trials(
+            "fm receiver bank (one kernel)",
+            lambda st, re, im: fm_disc_bank(
+                ba_fm_np, st, re, im, 12345, time_chunk=tc
+            ),
+            fm_disc.init_state((c,)), re_fm, im_fm,
+        )
 
     # ---- rate-conversion round trip (BASELINE config #4) ----
     from idsp_tpu.pipelines import rate_conversion

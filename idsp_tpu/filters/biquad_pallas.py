@@ -71,6 +71,14 @@ def _shr_i64_to_i32(hi, lo, f: int):
     return (hi << (32 - f)) | (lo >> f).astype(jnp.int32)
 
 
+def _sub_i64(a, b):
+    """(hi, lo) - (hi, lo): two's-complement negate-and-add."""
+    bhi, blo = b
+    nlo = jnp.uint32(0) - blo  # wrapping
+    nhi = ~bhi + (blo == 0).astype(jnp.int32)
+    return _add_i64(a, (nhi, nlo))
+
+
 def df1_bank_f32(ba, state: Df1State, xs, *, time_chunk: int = 256,
                  interpret: bool = False):
     """Float DF1 biquad bank, Pallas fast path (sequential semantics —

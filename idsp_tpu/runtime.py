@@ -169,11 +169,17 @@ class StreamExecutor:
       timeout: max seconds to wait for a block before treating the
         stream as stalled (raises TimeoutError); EOF (producer closed
         and drained) ends the run cleanly.
+      checkpoint_path / checkpoint_every: periodically persist the
+        carried state pytree with `idsp_tpu.checkpoint.save` (every N
+        blocks and at EOF).  Resume by restoring the state and skipping
+        the already-consumed samples upstream — block-boundary carries
+        are exactly the checkpoint payload (SURVEY.md §5).
     """
 
     def __init__(self, block_fn, state, block_shape, dtype=np.int32, *,
                  ring_blocks: int = 8, max_inflight: int = 2,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, checkpoint_path: str | None = None,
+                 checkpoint_every: int = 64):
         self.block_fn = block_fn
         self.state = state
         self.block_shape = tuple(block_shape)
@@ -181,9 +187,19 @@ class StreamExecutor:
         self.timeout = float(timeout)
         self.max_inflight = int(max_inflight)
         self.blocks_processed = 0
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every)
         n_items = int(np.prod(self.block_shape))
         self.ring = RingBuffer(ring_blocks * n_items * self.dtype.itemsize)
         self._n_items = n_items
+
+    def _checkpoint(self):
+        if self.checkpoint_path is None:
+            return
+        from . import checkpoint
+
+        jax.block_until_ready(self.state)
+        checkpoint.save(self.checkpoint_path, self.state)
 
     def _drain_oldest(self, pending: deque, out_ring):
         """Sync the oldest in-flight output; forward it downstream."""
@@ -229,11 +245,15 @@ class StreamExecutor:
             # window is full (dispatch stays async inside the window)
             while len(pending) > self.max_inflight:
                 self._drain_oldest(pending, out_ring)
+            if (self.checkpoint_path is not None
+                    and self.blocks_processed % self.checkpoint_every == 0):
+                self._checkpoint()
         while pending:
             self._drain_oldest(pending, out_ring)
         if out_ring is not None:
             out_ring.close()
         jax.block_until_ready(self.state)
+        self._checkpoint()
         return self.state, (outputs if collect else None)
 
 

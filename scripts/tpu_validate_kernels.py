@@ -490,6 +490,24 @@ def main():
     check("rpll_bank phase", ry_pl, ry_ref)
     check("rpll_bank freq", rf_pl, rf_ref)
 
+    # one-kernel FM receiver (conj product + atan2 + DF1 fused)
+    from idsp_tpu.filters.fm_pallas import fm_disc_bank
+    from idsp_tpu.pipelines import fm_disc
+
+    fm_re = ri32((t, c))
+    fm_im = ri32((t, c))
+    fm_ba = np.asarray(fm_disc.deemphasis_coefficients(0.02))
+    fm_st_ref, fm_y_ref = fm_disc.fm_receiver(
+        fm_disc.init_state((c,)), fm_re, fm_im, jnp.int32(12345),
+        jnp.asarray(fm_ba),
+    )
+    fm_st, fm_y = fm_disc_bank(
+        fm_ba, fm_disc.init_state((c,)), fm_re, fm_im, 12345,
+        time_chunk=128,
+    )
+    check("fm_disc_bank (one kernel)", fm_y, fm_y_ref)
+    check("fm_disc_bank state.y", fm_st.deemph.y, fm_st_ref.deemph.y)
+
     # RDMA halo kernel: single-chip self-copy ring — compiles the
     # Mosaic semaphore/DMA path on real hardware (multi-chip day-one
     # lowering smoke; VERDICT r2 weak #5)

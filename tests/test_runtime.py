@@ -240,3 +240,48 @@ def test_stream_executor_with_channel_sharding():
         np.concatenate([np.asarray(y) for y in ys]), np.asarray(ys_ref)
     )
     np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st_ref.y))
+
+
+def test_stream_executor_checkpoint_resume(tmp_path):
+    # crash-resume: state checkpointed every 2 blocks; a fresh executor
+    # restored from the checkpoint finishes the stream identically
+    from idsp_tpu import checkpoint
+
+    c, tb, nb = 64, 64, 8
+    rng = np.random.default_rng(25)
+    xs = rng.integers(-(2**26), 2**26, size=(nb * tb, c),
+                      dtype=np.int64).astype(np.int32)
+    ba_q = jnp.asarray(
+        biquad.quantize_ba(
+            biquad.from_cookbook(Filter().critical_frequency(0.02).lowpass()),
+            29,
+        )
+    )
+    block_fn = jax.jit(lambda s, x: biquad.df1_process_q(ba_q, 29, s, x))
+    ck = str(tmp_path / "state.npz")
+
+    # phase 1: process the first half, checkpointing
+    ex1 = StreamExecutor(
+        block_fn, biquad.df1_init((c,), jnp.int32), (tb, c),
+        dtype=np.int32, timeout=20.0,
+        checkpoint_path=ck, checkpoint_every=2,
+    )
+    producer_thread(ex1.ring, xs[: nb // 2 * tb])
+    ex1.run()
+    assert ex1.blocks_processed == nb // 2
+
+    # phase 2: "crash", restore, process the second half
+    st0 = checkpoint.restore(ck, biquad.df1_init((c,), jnp.int32))
+    ex2 = StreamExecutor(block_fn, st0, (tb, c), dtype=np.int32,
+                         timeout=20.0)
+    producer_thread(ex2.ring, xs[nb // 2 * tb:])
+    st, ys2 = ex2.run()
+
+    st_ref, ys_ref = biquad.df1_process_q(
+        ba_q, 29, biquad.df1_init((c,), jnp.int32), jnp.asarray(xs)
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(y) for y in ys2]),
+        np.asarray(ys_ref)[nb // 2 * tb:],
+    )
+    np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st_ref.y))

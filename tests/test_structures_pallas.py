@@ -119,3 +119,51 @@ def test_rpll_bank_matches_scan():
     )
     np.testing.assert_array_equal(np.asarray(st_pl.f), np.asarray(st_ref.f))
     np.testing.assert_array_equal(np.asarray(st_pl.y), np.asarray(st_ref.y))
+
+
+def test_fm_disc_bank_one_kernel_matches_composition():
+    # the whole FM receiver (conj product + atan2 + carrier subtract +
+    # Q32<30> DF1) in one kernel vs the composed fm_receiver path —
+    # bit-identical, including the first-sample validity masking and
+    # the cross-block carry
+    import jax
+
+    from idsp_tpu.filters.fm_pallas import fm_disc_bank
+    from idsp_tpu.pipelines import fm_disc
+
+    c, t = 128, 512
+    rng = np.random.default_rng(31)
+    re = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(t, c), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    im = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(t, c), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    carrier = 0x1934_1234  # the example's carrier (< 2^31, i32 as-is)
+    ba_q = jnp.asarray(fm_disc.deemphasis_coefficients(0.02))
+
+    st_ref = fm_disc.init_state((c,))
+    st_pl = fm_disc.init_state((c,))
+    # two blocks: exercises the carried prev-IQ/validity plane
+    for lo, hi in ((0, t // 2), (t // 2, t)):
+        st_ref, y_ref = fm_disc.fm_receiver(
+            st_ref, re[lo:hi], im[lo:hi], jnp.int32(carrier), ba_q
+        )
+        st_pl, y_pl = fm_disc_bank(
+            np.asarray(ba_q), st_pl, re[lo:hi], im[lo:hi], carrier,
+            time_chunk=128, trig_sub=8, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(y_pl), np.asarray(y_ref))
+    np.testing.assert_array_equal(
+        np.asarray(st_pl.prev_re), np.asarray(st_ref.prev_re)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_pl.prev_valid), np.asarray(st_ref.prev_valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_pl.deemph.y), np.asarray(st_ref.deemph.y)
+    )
