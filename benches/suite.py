@@ -746,6 +746,18 @@ def main(argv=None):
 
     run_trials("ddc lockin bank (f32 assoc)", jax.jit(run_ddcl),
                biquad.df1_init((2 * c,), jnp.float32), lo_cos, lo_sin)
+    if c % 128 == 0:
+        from idsp_tpu.filters.ddc_pallas import ddc_lockin_bank
+
+        ba_ddcl_np = np.asarray(ba_ddcl)
+        x_flat = xs_f32[:, 0]
+        run_trials(
+            "ddc lockin bank (one kernel)",
+            lambda st, xf: ddc_lockin_bank(
+                ba_ddcl_np, st, xf, lo_fs, 0, time_chunk=tc
+            ),
+            biquad.df1_init((2 * c,), jnp.float32), x_flat,
+        )
 
     # ---- polyphase channelizer M=1024 (reference example #3 scaled to
     # the BASELINE wideband config; DFT as complex MXU matmul) ----

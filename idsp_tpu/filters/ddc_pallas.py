@@ -1287,3 +1287,171 @@ def _fastlo_ddc_cascade_impl(ba_static, taps_static, state, tails, phase0,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
         fastlo_in=(x, phase0, steps, trig_dtype), x_layout=x_layout,
     )
+
+
+# --- one-kernel float DDC / lock-in bank (BASELINE #2 example) ----------------
+
+
+def ddc_lockin_bank(ba, state: Df1State, x, lo_freqs, n0=0, *,
+                    time_chunk: int = 256, x_layout: str = "replicate",
+                    interpret: bool = False):
+    """The ddc_lockin example (examples/ddc_lockin.rs:27-42) as ONE
+    kernel over a channel bank: float quadrature mix + shared-config
+    DF1 lowpass on the I/Q lanes.
+
+    The full-rate LO never touches HBM: like the integer fast LO, the
+    per-channel phase ramp factors as coarse-per-chunk x fine-in-chunk
+    (angle addition) — exp(-j w (k*tc + b)) = exp(-j w k tc) *
+    exp(-j w b) — so the kernel reads only the scalar input stream and
+    tiny factor tables, and mixes with one f32 complex multiply per
+    sample.  Tables are built in f64 (mod tau) so the phase error stays
+    at f32 rounding regardless of block index; `n0` (the absolute index
+    of the block's first sample) carries LO phase across blocks.
+
+    The sequential DF1 matches the per-sample reference semantics
+    (unlike the reassociating `df1_block_float`); the LO differs from
+    the composed XLA path only by f32 product rounding (~1e-7),
+    tolerance-gated like every float kernel.
+
+    Args:
+      ba: (5,) f32 coefficients (static floats).
+      state: Df1State f32 over 2c lanes (I|Q concat), c % 128 == 0.
+      x: (t,) f32 real input (shared wideband stream).
+      lo_freqs: (c,) relative LO frequencies.
+      n0: absolute sample index of x[0] (phase continuity).
+
+    Returns (state, yiq) with yiq (t, 2c) f32 — I lanes then Q lanes.
+    """
+    import numpy as _np
+
+    ba_static = tuple(float(v) for v in _np.asarray(ba).reshape(-1)[:5])
+    return _ddc_lockin_bank_impl(
+        ba_static, state, x, jnp.asarray(lo_freqs, jnp.float64),
+        jnp.asarray(n0, jnp.float64),
+        time_chunk=time_chunk, x_layout=x_layout, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ba_static", "time_chunk", "x_layout", "interpret"),
+)
+def _ddc_lockin_bank_impl(ba_static, state, x, w, n0, *, time_chunk,
+                          x_layout, interpret):
+    from .biquad_pallas import _pick_time_chunk
+
+    t = x.shape[0]
+    c = w.shape[0]
+    c2 = 2 * c
+    assert c % 128 == 0
+    cs = c // 128
+    cs2 = 2 * cs
+
+    vmem_cap = max(8, (10 * 2**20) // (20 * c2))
+    time_chunk = _pick_time_chunk(
+        t, vmem_cap, 1, 1, time_chunk,
+        128 if x_layout == "lanes" else 1,
+    )
+    tc = time_chunk
+    grid = (t // tc,)
+
+    # factor tables in f64, mod tau (phase error independent of n0/t)
+    tau = 2.0 * jnp.pi
+    wt = w * tau
+    ka = n0 + jnp.arange(t // tc, dtype=jnp.float64) * tc
+    pa = (ka[:, None] * wt[None, :]) % tau  # (n_chunks, c)
+    pb = (jnp.arange(tc, dtype=jnp.float64)[:, None] * wt[None, :]) % tau
+    ca = jnp.cos(pa).astype(jnp.float32).reshape(t // tc, cs, 128)
+    sa = jnp.sin(pa).astype(jnp.float32).reshape(t // tc, cs, 128)
+    cb = jnp.cos(pb).astype(jnp.float32).reshape(tc, cs, 128)
+    sb = jnp.sin(pb).astype(jnp.float32).reshape(tc, cs, 128)
+
+    xw, x_spec = _fastlo_x_operand(x.astype(jnp.float32), t, tc, x_layout)
+
+    def kernel(st_in_ref, ca_ref, sa_ref, cb_ref, sb_ref, xw_ref,
+               y_ref, out_state_ref, state_ref, miq_ref):
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            state_ref[...] = st_in_ref[...]
+
+        # quadrature mix: lo = exp(-j(A+b)); iq = [x*lo_re, -x*lo_im]
+        cav, sav = ca_ref[0], sa_ref[0]
+        cbv, sbv = cb_ref[...], sb_ref[...]
+        lo_re = cav[None] * cbv - sav[None] * sbv
+        lo_im = sav[None] * cbv + cav[None] * sbv
+        if x_layout == "lanes":
+            xt = _x_rows_from_lanes(xw_ref, tc)
+            xb = jnp.broadcast_to(xt[:, None, :], (tc, cs, 128))
+        else:
+            xb = jnp.broadcast_to(xw_ref[...], (tc, cs, 128))
+        miq_ref[...] = jnp.concatenate(
+            [xb * lo_re, -(xb * lo_im)], axis=1
+        )
+
+        # sequential f32 DF1 over the I|Q lanes (unroll=1: FMA
+        # contraction stability, like df1_bank_f32)
+        def step(j, packed):
+            b0, b1, b2, a1, a2 = (jnp.float32(v) for v in ba_static)
+            x1, x2, y1, y2 = (packed[r] for r in range(4))
+            x0 = miq_ref[j]
+            y0 = b0 * x0 + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
+            y_ref[j] = y0
+            return jnp.stack((x0, x1, y0, y1))
+
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc), step, state_ref[...]
+        )
+        state_ref[...] = st
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            out_state_ref[...] = st
+
+    def fixed(rr, ncs):
+        return pl.BlockSpec(
+            (rr, ncs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def walk(rr, ncs):
+        return pl.BlockSpec(
+            (rr, ncs, 128), lambda i: (i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0],
+         state.y[..., 1]],
+        axis=0,
+    ).astype(jnp.float32).reshape(4, cs2, 128)
+
+    ys, st_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed(4, cs2),
+            walk(1, cs), walk(1, cs),
+            fixed(tc, cs), fixed(tc, cs),
+            x_spec,
+        ],
+        out_specs=[walk(tc, cs2), fixed(4, cs2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, cs2, 128), jnp.float32),
+            jax.ShapeDtypeStruct((4, cs2, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, cs2, 128), jnp.float32),
+            pltpu.VMEM((tc, cs2, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(st_in, ca, sa, cb, sb, xw)
+
+    st_out = st_out.reshape(4, c2)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c2)

@@ -508,6 +508,42 @@ def main():
     check("fm_disc_bank (one kernel)", fm_y, fm_y_ref)
     check("fm_disc_bank state.y", fm_st.deemph.y, fm_st_ref.deemph.y)
 
+    # one-kernel float DDC/lock-in bank (factored f32 LO + DF1 lanes)
+    from idsp_tpu.filters.ddc_pallas import ddc_lockin_bank
+
+    lo_fs_v = np.linspace(0.05, 0.45, c)
+    x_v = jnp.asarray(rng.normal(size=(t,)).astype(np.float32))
+    ph_v = (
+        np.arange(t, dtype=np.float64)[:, None]
+        * (2 * np.pi * lo_fs_v[None, :])
+    ) % (2 * np.pi)
+    iq_v = jnp.concatenate(
+        [
+            np.asarray(x_v)[:, None] * np.cos(ph_v).astype(np.float32),
+            -(np.asarray(x_v)[:, None] * np.sin(ph_v).astype(np.float32)),
+        ],
+        axis=1,
+    )
+    ba_dl = np.asarray(
+        biquad.from_cookbook(
+            Filter().critical_frequency(0.002).lowpass()
+        ).astype(np.float32)
+    )
+    _, ydl_ref = biquad.df1_process(
+        jnp.asarray(ba_dl), biquad.df1_init((2 * c,), jnp.float32),
+        jnp.asarray(iq_v),
+    )
+    _, ydl = ddc_lockin_bank(
+        ba_dl, biquad.df1_init((2 * c,), jnp.float32), x_v, lo_fs_v, 0,
+        time_chunk=128,
+    )
+    dl_err = float(np.max(np.abs(np.asarray(ydl) - np.asarray(ydl_ref))))
+    dl_ok = dl_err < 5e-5
+    ok = ok and dl_ok
+    print(f"ddc_lockin_bank (tol 5e-5)         "
+          f"{'OK' if dl_ok else 'MISMATCH'} (err={dl_err:.2e})",
+          flush=True)
+
     # RDMA halo kernel: single-chip self-copy ring — compiles the
     # Mosaic semaphore/DMA path on real hardware (multi-chip day-one
     # lowering smoke; VERDICT r2 weak #5)

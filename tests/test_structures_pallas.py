@@ -167,3 +167,63 @@ def test_fm_disc_bank_one_kernel_matches_composition():
     np.testing.assert_array_equal(
         np.asarray(st_pl.deemph.y), np.asarray(st_ref.deemph.y)
     )
+
+
+def test_ddc_lockin_bank_one_kernel():
+    # BASELINE #2 example as one kernel: (a) tolerance-equal to the
+    # composed XLA path (factored f32 LO differs only by product
+    # rounding), (b) passes the reference IQ-recovery acceptance gates
+    # (ddc_lockin.rs:104-110), (c) LO phase continuous across blocks.
+    import jax
+
+    from idsp_tpu.filters import biquad
+    from idsp_tpu.filters.ddc_pallas import ddc_lockin_bank
+
+    c, t = 128, 4096
+    lo_fs = np.linspace(0.05, 0.45, c)
+    phi = 0.37
+    k_tone = 40
+    i = np.arange(t, dtype=np.float64)
+    x = jnp.asarray(
+        np.cos(2 * np.pi * lo_fs[k_tone] * i + phi).astype(np.float32)
+    )
+    ba = biquad.from_cookbook(
+        Filter().critical_frequency(0.002).lowpass()
+    ).astype(np.float32)
+
+    # composed reference: direct f64-phase LO + sequential scan
+    ph = (i[:, None] * (2 * np.pi * lo_fs[None, :])) % (2 * np.pi)
+    lc = jnp.asarray(np.cos(ph).astype(np.float32))
+    ls = jnp.asarray(np.sin(ph).astype(np.float32))
+    iq = jnp.concatenate([x[:, None] * lc, -(x[:, None] * ls)], axis=1)
+    st0 = biquad.df1_init((2 * c,), jnp.float32)
+    _, y_ref = biquad.df1_process(jnp.asarray(ba), st0, iq)
+
+    # (c) two chained kernel blocks == the full run
+    st = biquad.df1_init((2 * c,), jnp.float32)
+    h = t // 2
+    st, y1 = ddc_lockin_bank(ba, st, x[:h], lo_fs, 0, time_chunk=256,
+                             interpret=True)
+    st, y2 = ddc_lockin_bank(ba, st, x[h:], lo_fs, h, time_chunk=256,
+                             interpret=True)
+    y = np.concatenate([np.asarray(y1), np.asarray(y2)])
+
+    # (a) tolerance vs composition (f32 LO product rounding only)
+    assert np.max(np.abs(y - np.asarray(y_ref))) < 2e-5
+
+    # (b) reference acceptance: channel k recovers [cos, sin]*0.5
+    tail = y[3 * t // 4:].astype(np.float64)
+    mean_i = tail[:, k_tone].mean()
+    mean_q = tail[:, c + k_tone].mean()
+    exp_i, exp_q = 0.5 * np.cos(phi), 0.5 * np.sin(phi)
+    assert abs(mean_i - exp_i) < 3e-3 and abs(mean_q - exp_q) < 3e-3
+    rms = np.sqrt(
+        ((tail[:, k_tone] - exp_i) ** 2
+         + (tail[:, c + k_tone] - exp_q) ** 2).mean()
+    )
+    assert rms < 6e-3
+    # distant channels see no DC (neighbors sit inside the lowpass
+    # transition band of the difference tone — exclude a small window)
+    off = np.abs(tail[:, :c]).mean(axis=0)
+    off = np.concatenate([off[: k_tone - 3], off[k_tone + 4:]])
+    assert off.max() < 0.05
