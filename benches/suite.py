@@ -527,6 +527,23 @@ def main(argv=None):
         ),
         hbf.fir_init(4, False, (c,)), x_hbf,
     )
+    # single-stage decimators (hbf.rs:636-655 Skylake rows): the 3-mul
+    # (11-tap) last stage and the 23-mul (91-tap) first stage
+    x_hbf_t = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    run_trials(
+        "hbf dec 3-mul single stage (t-major)",
+        jax.jit(lambda st, x: hbf.hbf_dec_block(
+            hbf.HBF_TAPS[4], st, x, axis=0
+        )),
+        hbf.hbf_dec_init(len(hbf.HBF_TAPS[4]), (c,), axis=0), x_hbf_t,
+    )
+    run_trials(
+        "hbf dec 23-mul single stage (t-major)",
+        jax.jit(lambda st, x: hbf.hbf_dec_block(
+            hbf.HBF_TAPS[0], st, x, axis=0
+        )),
+        hbf.hbf_dec_init(len(hbf.HBF_TAPS[0]), (c,), axis=0), x_hbf_t,
+    )
     run_trials("hbf dec8 cascade",
                jax.jit(lambda st, x: hbf.hbf_dec_cascade(st, x)),
                hbf.hbf_dec_cascade_init(3, (c,)), x_hbf)
@@ -940,6 +957,22 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "fastlo mix+df1+hbf dec8 (one kernel)":
             "full headline chain; >= 1 GS/s north star",
         "ddc lockin bank (f32 assoc)": "ddc_lockin.rs example",
+        "ddc lockin bank (one kernel)":
+            "ddc_lockin.rs example (fused factored-LO kernel)",
+        "fm receiver bank": "fm_disc.rs example",
+        "fm receiver bank (one kernel)":
+            "fm_disc.rs example (fused disc+atan2+DF1 kernel)",
+        "rate conv 16x dec+int round trip": "BASELINE #4 cascade",
+        "hbf dec 3-mul single stage (t-major)":
+            "2.5 cyc/item, >2 GS/s/core Skylake",
+        "hbf dec 23-mul single stage (t-major)":
+            "2.6 cyc/item, >1 GS/s Skylake",
+        "svf bank (scan)": "svf.rs (float, 3-output)",
+        "svf bank (pallas)": "same",
+        "normal form q32 (scan)": "normal.rs (Rader-Gold SOS)",
+        "normal form q32 (pallas)": "same",
+        "rpll bank (scan)": "rpll.rs (timestamp loop)",
+        "rpll bank (pallas)": "same",
         "channelizer m=1024 (mxu dft)":
             "polyphase_channelizer.rs scaled to M=1024",
         "channelizer m=1024 (fft)": "same (O(M log M) DFT)",
