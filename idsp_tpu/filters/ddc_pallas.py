@@ -1294,7 +1294,7 @@ def _fastlo_ddc_cascade_impl(ba_static, taps_static, state, tails, phase0,
 
 def ddc_lockin_bank(ba, state: Df1State, x, lo_freqs, n0=0, *,
                     time_chunk: int = 256, x_layout: str = "replicate",
-                    interpret: bool = False):
+                    trig_dtype=jnp.float32, interpret: bool = False):
     """The ddc_lockin example (examples/ddc_lockin.rs:27-42) as ONE
     kernel over a channel bank: float quadrature mix + shared-config
     DF1 lowpass on the I/Q lanes.
@@ -1328,16 +1328,18 @@ def ddc_lockin_bank(ba, state: Df1State, x, lo_freqs, n0=0, *,
     return _ddc_lockin_bank_impl(
         ba_static, state, x, jnp.asarray(lo_freqs, jnp.float64),
         jnp.asarray(n0, jnp.float64),
-        time_chunk=time_chunk, x_layout=x_layout, interpret=interpret,
+        time_chunk=time_chunk, x_layout=x_layout,
+        trig_dtype=jnp.dtype(trig_dtype), interpret=interpret,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ba_static", "time_chunk", "x_layout", "interpret"),
+    static_argnames=("ba_static", "time_chunk", "x_layout", "trig_dtype",
+                     "interpret"),
 )
 def _ddc_lockin_bank_impl(ba_static, state, x, w, n0, *, time_chunk,
-                          x_layout, interpret):
+                          x_layout, trig_dtype, interpret):
     from .biquad_pallas import _pick_time_chunk
 
     t = x.shape[0]
@@ -1355,12 +1357,17 @@ def _ddc_lockin_bank_impl(ba_static, state, x, w, n0, *, time_chunk,
     tc = time_chunk
     grid = (t // tc,)
 
-    # factor tables in f64, mod tau (phase error independent of n0/t)
+    # Factor-table phases in f64 mod tau (error independent of n0/t);
+    # the trig itself defaults to f32 — f64 trig is EMULATED on TPU
+    # (CLAUDE.md round-3 lesson; same default as ops/fastlo.py).  A
+    # f32-reduced phase costs ~1e-7 rad, far under the example gates.
     tau = 2.0 * jnp.pi
     wt = w * tau
     ka = n0 + jnp.arange(t // tc, dtype=jnp.float64) * tc
-    pa = (ka[:, None] * wt[None, :]) % tau  # (n_chunks, c)
-    pb = (jnp.arange(tc, dtype=jnp.float64)[:, None] * wt[None, :]) % tau
+    pa = ((ka[:, None] * wt[None, :]) % tau).astype(trig_dtype)
+    pb = (
+        (jnp.arange(tc, dtype=jnp.float64)[:, None] * wt[None, :]) % tau
+    ).astype(trig_dtype)
     ca = jnp.cos(pa).astype(jnp.float32).reshape(t // tc, cs, 128)
     sa = jnp.sin(pa).astype(jnp.float32).reshape(t // tc, cs, 128)
     cb = jnp.cos(pb).astype(jnp.float32).reshape(tc, cs, 128)

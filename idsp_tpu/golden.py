@@ -11,44 +11,19 @@ Builds on first use with cc into ``native/libgolden.so``.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from functools import lru_cache
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
-
 
 @lru_cache(maxsize=None)
 def _lib() -> ctypes.CDLL:
-    src = os.path.join(_NATIVE_DIR, "golden.c")
-    so = os.path.join(_NATIVE_DIR, "libgolden.so")
-    # Rebuild keyed on a content hash of the source (+ compile flags),
-    # not mtimes: a git checkout gives source and binary the same
-    # timestamp, so a stale committed .so would silently shadow source
-    # changes (e.g. a binary built without -fwrapv differing exactly on
-    # the wrap cases the flag exists for).
-    import hashlib
+    from ._native import load_native
 
-    flags = ["-O2", "-fwrapv", "-shared", "-fPIC"]
-    with open(src, "rb") as fh:
-        digest = hashlib.sha256(
-            fh.read() + " ".join(flags).encode()
-        ).hexdigest()
-    stamp = so + ".sha256"
-    stale = True
-    if os.path.exists(so) and os.path.exists(stamp):
-        with open(stamp) as fh:
-            stale = fh.read().strip() != digest
-    if stale:
-        subprocess.run(
-            ["cc", *flags, "-o", so, src, "-lm"],
-            check=True,
-        )
-        with open(stamp, "w") as fh:
-            fh.write(digest + "\n")
-    lib = ctypes.CDLL(so)
+    lib = load_native(
+        "golden.c", "libgolden.so",
+        ("-O2", "-fwrapv", "-shared", "-fPIC"), ("-lm",),
+    )
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u32p = ctypes.POINTER(ctypes.c_uint32)

@@ -26,9 +26,6 @@ concatenated input — equivalence-tested in tests/test_runtime.py.
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import os
-import subprocess
 import threading
 from collections import deque
 from functools import lru_cache
@@ -36,32 +33,15 @@ from functools import lru_cache
 import jax
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
-
 
 @lru_cache(maxsize=None)
 def _lib() -> ctypes.CDLL:
-    src = os.path.join(_NATIVE_DIR, "stream_rt.c")
-    so = os.path.join(_NATIVE_DIR, "libstreamrt.so")
-    # content-hash rebuild stamp (same scheme as golden.py: mtimes are
-    # unreliable after a git checkout)
-    flags = ["-O2", "-shared", "-fPIC"]
-    with open(src, "rb") as fh:
-        digest = hashlib.sha256(
-            fh.read() + " ".join(flags).encode()
-        ).hexdigest()
-    stamp = so + ".sha256"
-    stale = True
-    if os.path.exists(so) and os.path.exists(stamp):
-        with open(stamp) as fh:
-            stale = fh.read().strip() != digest
-    if stale:
-        subprocess.run(
-            ["cc", *flags, "-o", so, src, "-lpthread"], check=True
-        )
-        with open(stamp, "w") as fh:
-            fh.write(digest + "\n")
-    lib = ctypes.CDLL(so)
+    from ._native import load_native
+
+    lib = load_native(
+        "stream_rt.c", "libstreamrt.so",
+        ("-O2", "-shared", "-fPIC"), ("-lpthread",),
+    )
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.rb_create.argtypes = [ctypes.c_uint64]
     lib.rb_create.restype = ctypes.c_void_p
@@ -92,6 +72,22 @@ def _lib() -> ctypes.CDLL:
 
 def _u8ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _fence(tree):
+    """Force completion of the computation feeding ``tree``.
+
+    `jax.block_until_ready` does NOT fence on the axon TPU tunnel
+    (CLAUDE.md); `profiling.sync`'s scalar readback does — without it
+    the max_inflight bound would be ineffective on the real device and
+    dispatches could queue unboundedly.
+    """
+    from .profiling import sync
+
+    if jax.tree_util.tree_leaves(tree):
+        sync(tree)
+    else:
+        jax.block_until_ready(tree)
 
 
 class RingBuffer:
@@ -129,11 +125,15 @@ class RingBuffer:
 
     def try_write(self, arr: np.ndarray) -> bool:
         arr = np.ascontiguousarray(arr)
+        if arr.nbytes == 0:
+            return True  # nothing to transfer is success, not failure
         return bool(self._lib.rb_write(self._rb, _u8ptr(arr), arr.nbytes))
 
     def write(self, arr: np.ndarray, timeout: float | None = None) -> bool:
         """Blocking write of the whole array (GIL released in C)."""
         arr = np.ascontiguousarray(arr)
+        if arr.nbytes == 0:
+            return True
         to = -1 if timeout is None else int(timeout * 1e6)
         return bool(
             self._lib.rb_write_all(self._rb, _u8ptr(arr), arr.nbytes, to)
@@ -142,6 +142,8 @@ class RingBuffer:
     def read(self, n_items: int, dtype, timeout: float | None = None):
         """Blocking read of exactly n_items of dtype; None on EOF/timeout."""
         out = np.empty(n_items, dtype=dtype)
+        if out.nbytes == 0:
+            return out
         to = -1 if timeout is None else int(timeout * 1e6)
         ok = self._lib.rb_read_all(self._rb, _u8ptr(out), out.nbytes, to)
         return out if ok else None
@@ -198,13 +200,13 @@ class StreamExecutor:
             return
         from . import checkpoint
 
-        jax.block_until_ready(self.state)
+        _fence(self.state)
         checkpoint.save(self.checkpoint_path, self.state)
 
     def _drain_oldest(self, pending: deque, out_ring):
         """Sync the oldest in-flight output; forward it downstream."""
         y = pending.popleft()
-        jax.block_until_ready(y)
+        _fence(y)
         if out_ring is not None:
             for leaf in jax.tree_util.tree_leaves(y):
                 if not out_ring.write(np.asarray(leaf),
@@ -230,7 +232,17 @@ class StreamExecutor:
                                  timeout=self.timeout)
             if buf is None:
                 if self.ring.closed:
-                    break  # EOF: drained
+                    # EOF — but a partial tail block would be silent
+                    # data loss for an acquisition stream: refuse.
+                    left = self.ring.readable
+                    if left:
+                        raise ValueError(
+                            f"stream ended with a partial block: {left}"
+                            " bytes remain in the ring (pad the final"
+                            " block upstream or size the stream to the"
+                            " block length)"
+                        )
+                    break
                 raise TimeoutError(
                     f"no block after {self.timeout}s (ring stalled)"
                 )
@@ -252,7 +264,7 @@ class StreamExecutor:
             self._drain_oldest(pending, out_ring)
         if out_ring is not None:
             out_ring.close()
-        jax.block_until_ready(self.state)
+        _fence(self.state)
         self._checkpoint()
         return self.state, (outputs if collect else None)
 

@@ -125,6 +125,7 @@ static void sleep_us(long us) {
 int rb_write_all(rb_t *rb, const uint8_t *src, uint64_t n,
                  int64_t timeout_us) {
     int64_t waited = 0;
+    if (n == 0) return 1; /* nothing to transfer is success */
     while (!rb_write(rb, src, n)) {
         if (rb_closed(rb)) return 0;
         if (timeout_us >= 0 && waited >= timeout_us) return 0;
@@ -138,6 +139,7 @@ int rb_write_all(rb_t *rb, const uint8_t *src, uint64_t n,
  * timeout or when the ring is closed AND drained. */
 int rb_read_all(rb_t *rb, uint8_t *dst, uint64_t n, int64_t timeout_us) {
     int64_t waited = 0;
+    if (n == 0) return 1;
     while (!rb_read(rb, dst, n)) {
         if (rb_closed(rb) && rb_readable(rb) < n) return 0;
         if (timeout_us >= 0 && waited >= timeout_us) return 0;

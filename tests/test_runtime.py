@@ -285,3 +285,19 @@ def test_stream_executor_checkpoint_resume(tmp_path):
         np.asarray(ys_ref)[nb // 2 * tb:],
     )
     np.testing.assert_array_equal(np.asarray(st.y), np.asarray(st_ref.y))
+
+
+def test_stream_executor_rejects_partial_tail():
+    # a stream that ends mid-block is data loss, not clean EOF
+    ex = StreamExecutor(
+        jax.jit(lambda s, x: (s, x)), jnp.zeros(()), (16, 4),
+        dtype=np.int32, timeout=5.0,
+    )
+    ex.ring.write(np.arange(16 * 4 + 7, dtype=np.int32), timeout=5.0)
+    ex.ring.close()
+    try:
+        ex.run()
+        raise AssertionError("expected ValueError for partial tail")
+    except ValueError as e:
+        assert "partial block" in str(e)
+    assert ex.blocks_processed == 1
