@@ -640,6 +640,23 @@ def main(argv=None):
     run_trials("hbf int8 cascade",
                jax.jit(lambda st, x: hbf.hbf_int_cascade(st, x)),
                hbf.hbf_int_cascade_init(3, (c,)), x_hbf_lo)
+    if c % 128 == 0:
+        # standalone one-kernel cascades (hbf_pallas): inter-stage
+        # intermediates stay in VMEM
+        from idsp_tpu.filters.hbf_pallas import (
+            hbf_dec_cascade_bank, hbf_int_cascade_bank,
+        )
+
+        run_trials(
+            "hbf dec8 cascade (pallas)",
+            lambda st, x: hbf_dec_cascade_bank(st, x, time_chunk=512),
+            hbf.hbf_dec_cascade_init(3, (c,), axis=0), x_hbf.T,
+        )
+        run_trials(
+            "hbf int8 cascade (pallas)",
+            lambda st, x: hbf_int_cascade_bank(st, x, time_chunk=128),
+            hbf.hbf_int_cascade_init(3, (c,), axis=0), x_hbf_lo.T,
+        )
 
     # ---- FM discriminator receiver bank (BASELINE config #1) ----
     from idsp_tpu.pipelines import fm_disc
@@ -945,7 +962,9 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "pll bank (pallas)": "same",
         "fir es-8 (block conv)": "115.5 cyc/smp M7",
         "hbf dec8 cascade": ">2 GS/s/core Skylake",
+        "hbf dec8 cascade (pallas)": "same",
         "hbf int8 cascade": "476.7 cyc/smp M7",
+        "hbf int8 cascade (pallas)": "same",
         "cic dec N=3 R=16": "2.84/1.70 cyc/smp x86 (mono/chunked)",
         "cic int N=3 R=16": "1.22/2.69 cyc/smp x86 (mono/chunked)",
         "cic dec modular N=3 R=16": "3.02 cyc/smp x86 (modular)",

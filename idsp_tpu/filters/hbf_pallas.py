@@ -1,0 +1,348 @@
+"""Standalone Pallas kernels for the half-band rate-change cascades.
+
+TPU-native analogs of the reference's block FIR cascade benchmarks
+(hbf.rs:636-672 Skylake rows; tests/embedded/src/bin/hbf.rs:29-54): the
+decimate-by-2**N and interpolate-by-2**N half-band cascades as ONE
+kernel each, so inter-stage intermediates live in VMEM instead of
+round-tripping HBM between XLA stages.
+
+These are the *pure FIR* counterparts of the fused IIR+cascade kernels
+in ddc_pallas (`_run_fused_cascade`): same parity-plane scratch layout
+and carried-tail choreography, no sequential front end — every stage is
+a vectorized shifted-slice FMA over the chunk.
+
+* `hbf_dec_cascade_bank(states, xs)` == `hbf.hbf_dec_cascade(states,
+  xs, axis=0)` (stage order highest-rate/fewest-taps first,
+  hbf.rs:385-421).
+* `hbf_int_cascade_bank(states, xs)` == `hbf.hbf_int_cascade(states,
+  xs, axis=0)` (lowest-rate/most-taps first, hbf.rs:476-512).
+
+Both take/return the hbf.py axis=0 state tuples so they are drop-in
+kernel replacements.  f32 outputs match the XLA composition to the FMA
+contraction bound (~1-2 ULP across graphs, CLAUDE.md round-3 lessons);
+carried tails are copies of input/output samples and match bit-exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .biquad_pallas import _pick_time_chunk
+from .ddc_pallas import _fir_even
+from .hbf import HbfDecState, HbfIntState
+
+
+def _taps_key(states, taps):
+    """Static (hashable) per-stage tap tuples in cascade order."""
+    depth = len(states)
+    return tuple(tuple(float(v) for v in np.asarray(tv)) for tv in taps)[
+        :depth
+    ]
+
+
+# --- decimation cascade -------------------------------------------------------
+
+
+def hbf_dec_cascade_bank(states, xs, *, taps=None, time_chunk: int = 512,
+                         interpret: bool = False):
+    """Decimate-by-2**depth half-band cascade in one Pallas kernel.
+
+    Args:
+      states: tuple of `hbf.HbfDecState` (axis=0 layout, highest-rate
+        stage first — `hbf.hbf_dec_cascade_init(depth, (c,), axis=0)`).
+      xs: (t, c) f32 full-rate block, c % 128 == 0.
+      taps: full tap table (default `hbf.HBF_TAPS`); stage i uses
+        taps[depth-1-i], exactly like `hbf.hbf_dec_cascade`.
+
+    Returns (new_states, y) with y (t // 2**depth, c) f32.
+    """
+    if taps is None:
+        from .hbf import HBF_TAPS
+
+        taps = HBF_TAPS
+    depth = len(states)
+    stage_taps = tuple(taps[depth - 1 - i] for i in range(depth))
+    tails = tuple(
+        jnp.concatenate([st.odd, st.even], axis=0) for st in states
+    )
+    new_tails, y = _hbf_dec_cascade_impl(
+        _taps_key(states, stage_taps), tails, xs,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+    outs = []
+    for tl, tv in zip(new_tails, stage_taps):
+        ln = 2 * len(tv) - 1
+        outs.append(HbfDecState(odd=tl[0:ln], even=tl[ln:]))
+    return tuple(outs), y
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("time_chunk", "interpret"))
+def _hbf_dec_cascade_impl(taps_static, tails, xs, *, time_chunk,
+                          interpret):
+    depth = len(taps_static)
+    r = 1 << depth
+    t, c2 = xs.shape
+    assert c2 % 128 == 0, "channel count must be a multiple of 128"
+    assert t % r == 0
+    cs = c2 // 128
+    ms = [len(tv) for tv in taps_static]
+    lns = [2 * m - 1 for m in ms]
+    mes = [m - 1 for m in ms]
+    nts = [ln + me for ln, me in zip(lns, mes)]
+
+    # VMEM model ~18 B per full-rate sample-channel (parity planes +
+    # double-buffered input), same family as _run_fused_cascade.
+    vmem_cap = max(8, (10 * 2**20) // (18 * c2))
+    tc = _pick_time_chunk(t, vmem_cap, 2, r, time_chunk)
+    ns = [tc >> (d + 1) for d in range(depth)]
+    grid = (t // tc,)
+
+    def kernel(*refs):
+        tin_refs = refs[0:depth]
+        x_ref = refs[depth]
+        y_ref = refs[depth + 1]
+        tout_refs = refs[depth + 2:depth + 2 + depth]
+        scr = refs[depth + 2 + depth:]
+        t_refs = scr[0:depth]
+        oe_refs = scr[depth:depth + 2 * depth]  # odd0, even0, odd1, ...
+
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            for tr, tin in zip(t_refs, tin_refs):
+                tr[...] = tin[...]
+
+        # stage scratch prologue: tails into the plane heads
+        for d in range(depth):
+            oe_refs[2 * d][0:lns[d]] = t_refs[d][0:lns[d]]
+            oe_refs[2 * d + 1][0:mes[d]] = t_refs[d][lns[d]:nts[d]]
+
+        # stage-0 input parity split (reshape + unit slice; stride-2
+        # row slices are gathers Mosaic rejects)
+        xp = x_ref[...].reshape(ns[0], 2, cs, 128)
+        oe_refs[1][mes[0]:mes[0] + ns[0]] = xp[:, 0]
+        oe_refs[0][lns[0]:lns[0] + ns[0]] = xp[:, 1]
+
+        for d in range(depth):
+            yv = _fir_even(oe_refs[2 * d], oe_refs[2 * d + 1], lns[d],
+                           ns[d], taps_static[d])
+            if d + 1 < depth:
+                yp = yv.reshape(ns[d + 1], 2, cs, 128)
+                oe_refs[2 * d + 3][mes[d + 1]:mes[d + 1] + ns[d + 1]] = (
+                    yp[:, 0]
+                )
+                oe_refs[2 * d + 2][lns[d + 1]:lns[d + 1] + ns[d + 1]] = (
+                    yp[:, 1]
+                )
+            else:
+                y_ref[...] = yv
+            t_refs[d][0:lns[d]] = oe_refs[2 * d][ns[d]:ns[d] + lns[d]]
+            t_refs[d][lns[d]:nts[d]] = (
+                oe_refs[2 * d + 1][ns[d]:ns[d] + mes[d]]
+            )
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            for tr, tout in zip(t_refs, tout_refs):
+                tout[...] = tr[...]
+
+    def fixed(rr):
+        return pl.BlockSpec(
+            (rr, cs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    walk_in = pl.BlockSpec(
+        (tc, cs, 128), lambda i: (i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    walk_out = pl.BlockSpec(
+        (ns[-1], cs, 128), lambda i: (i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[fixed(nt) for nt in nts] + [walk_in],
+        out_specs=[walk_out] + [fixed(nt) for nt in nts],
+        out_shape=(
+            [jax.ShapeDtypeStruct((t // r, cs, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct((nt, cs, 128), jnp.float32)
+               for nt in nts]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((nt, cs, 128), jnp.float32) for nt in nts]
+            + sum(
+                (
+                    [pltpu.VMEM((ns[d] + lns[d], cs, 128), jnp.float32),
+                     pltpu.VMEM((ns[d] + mes[d], cs, 128), jnp.float32)]
+                    for d in range(depth)
+                ),
+                [],
+            )
+        ),
+        interpret=interpret,
+    )(*[tl.reshape(nt, cs, 128) for tl, nt in zip(tails, nts)],
+      xs.reshape(t, cs, 128))
+
+    y = outs[0].reshape(t // r, c2)
+    t_outs = tuple(o.reshape(nt, c2) for o, nt in zip(outs[1:], nts))
+    return t_outs, y
+
+
+# --- interpolation cascade ----------------------------------------------------
+
+
+def hbf_int_cascade_bank(states, xs, *, taps=None, time_chunk: int = 128,
+                         interpret: bool = False):
+    """Interpolate-by-2**depth half-band cascade in one Pallas kernel.
+
+    Args:
+      states: tuple of `hbf.HbfIntState` (axis=0 layout, lowest-rate
+        stage first — `hbf.hbf_int_cascade_init(depth, (c,), axis=0)`).
+      xs: (t, c) f32 low-rate block, c % 128 == 0.
+      taps: full tap table (default `hbf.HBF_TAPS`); stage i uses
+        taps[i], exactly like `hbf.hbf_int_cascade`.
+
+    Returns (new_states, y) with y (t * 2**depth, c) f32.  Output slot
+    order per stage matches hbf.rs:208-236: FIR output in even slots,
+    the M-delayed input (identity center tap) in odd slots.
+    """
+    if taps is None:
+        from .hbf import HBF_TAPS
+
+        taps = HBF_TAPS
+    depth = len(states)
+    stage_taps = tuple(taps[i] for i in range(depth))
+    tails = tuple(st.x for st in states)
+    new_tails, y = _hbf_int_cascade_impl(
+        _taps_key(states, stage_taps), tails, xs,
+        time_chunk=time_chunk, interpret=interpret,
+    )
+    return tuple(HbfIntState(x=tl) for tl in new_tails), y
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("time_chunk", "interpret"))
+def _hbf_int_cascade_impl(taps_static, tails, xs, *, time_chunk,
+                          interpret):
+    depth = len(taps_static)
+    r = 1 << depth
+    t, c2 = xs.shape
+    assert c2 % 128 == 0, "channel count must be a multiple of 128"
+    cs = c2 // 128
+    ms = [len(tv) for tv in taps_static]
+    lns = [2 * m - 1 for m in ms]
+
+    # VMEM model: ext scratch rows sum to (r-1)*tc, plus the
+    # double-buffered input (tc) and output (r*tc) blocks: ~(3r+1)*4 B
+    # per low-rate sample-channel.
+    vmem_cap = max(4, (10 * 2**20) // ((3 * r + 1) * 4 * c2))
+    tc = _pick_time_chunk(t, vmem_cap, 1, 1, time_chunk)
+    ns = [tc << d for d in range(depth)]  # stage input rows
+    grid = (t // tc,)
+
+    def kernel(*refs):
+        tin_refs = refs[0:depth]
+        x_ref = refs[depth]
+        y_ref = refs[depth + 1]
+        tout_refs = refs[depth + 2:depth + 2 + depth]
+        scr = refs[depth + 2 + depth:]
+        t_refs = scr[0:depth]
+        ext_refs = scr[depth:2 * depth]
+
+        tq = pl.program_id(0)
+        n_t = pl.num_programs(0)
+
+        @pl.when(tq == 0)
+        def _():
+            for tr, tin in zip(t_refs, tin_refs):
+                tr[...] = tin[...]
+
+        for d in range(depth):
+            ext_refs[d][0:lns[d]] = t_refs[d][...]
+        ext_refs[0][lns[0]:lns[0] + tc] = x_ref[...]
+
+        for d in range(depth):
+            n, ln, m = ns[d], lns[d], ms[d]
+            tv = taps_static[d]
+            ext = ext_refs[d]
+            # sub-block the stage so live values stay bounded (the
+            # whole-chunk FIR at the last stage would hold 4*tc rows)
+            bs = n
+            for cand in (256, 128, 64):
+                if n > cand and n % cand == 0:
+                    bs = cand
+                    break
+            for j in range(n // bs):
+                o = j * bs
+                acc = None
+                for i in range(m):
+                    a = ext[i + o:i + o + bs]
+                    b = ext[ln - i + o:ln - i + o + bs]
+                    term = (b + a) * jnp.float32(tv[i])
+                    acc = term if acc is None else acc + term
+                cen = ext[m + o:m + o + bs]
+                blk = jnp.stack([acc, cen], axis=1).reshape(
+                    2 * bs, cs, 128
+                )
+                if d + 1 < depth:
+                    ext_refs[d + 1][
+                        lns[d + 1] + 2 * o:lns[d + 1] + 2 * o + 2 * bs
+                    ] = blk
+                else:
+                    y_ref[2 * o:2 * o + 2 * bs] = blk
+            t_refs[d][...] = ext[n:n + ln]
+
+        @pl.when(tq == n_t - 1)
+        def _():
+            for tr, tout in zip(t_refs, tout_refs):
+                tout[...] = tr[...]
+
+    def fixed(rr):
+        return pl.BlockSpec(
+            (rr, cs, 128), lambda i: (i * 0, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    walk_in = pl.BlockSpec(
+        (tc, cs, 128), lambda i: (i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    walk_out = pl.BlockSpec(
+        (tc * r, cs, 128), lambda i: (i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[fixed(ln) for ln in lns] + [walk_in],
+        out_specs=[walk_out] + [fixed(ln) for ln in lns],
+        out_shape=(
+            [jax.ShapeDtypeStruct((t * r, cs, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct((ln, cs, 128), jnp.float32)
+               for ln in lns]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((ln, cs, 128), jnp.float32) for ln in lns]
+            + [pltpu.VMEM((ns[d] + lns[d], cs, 128), jnp.float32)
+               for d in range(depth)]
+        ),
+        interpret=interpret,
+    )(*[tl.reshape(ln, cs, 128) for tl, ln in zip(tails, lns)],
+      xs.reshape(t, cs, 128))
+
+    y = outs[0].reshape(t * r, c2)
+    t_outs = tuple(o.reshape(ln, c2) for o, ln in zip(outs[1:], lns))
+    return t_outs, y

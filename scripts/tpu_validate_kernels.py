@@ -544,6 +544,44 @@ def main():
           f"{'OK' if dl_ok else 'MISMATCH'} (err={dl_err:.2e})",
           flush=True)
 
+    # standalone half-band cascade kernels (hbf_pallas): dec + int
+    try:
+        from idsp_tpu.filters.hbf_pallas import (
+            hbf_dec_cascade_bank, hbf_int_cascade_bank,
+        )
+
+        xhb = jnp.asarray(rng.normal(size=(512, c)).astype(np.float32))
+        dref3 = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
+        dref3, ydec_r = hbf.hbf_dec_cascade(dref3, xhb, axis=0)
+        dpl3 = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
+        dpl3, ydec_p = hbf_dec_cascade_bank(dpl3, xhb, time_chunk=256)
+        sc_d = _np2.float32(max(_np2.abs(_np2.asarray(ydec_r)).max(), 1.0))
+        dd = float(
+            _np2.abs(_np2.asarray(ydec_p) - _np2.asarray(ydec_r)).max()
+        )
+        okdc = dd <= 16 * _np2.spacing(sc_d)
+        ok = ok and okdc
+        print(f"hbf_dec_cascade_bank (<=16 ULP)    "
+              f"{'OK' if okdc else 'MISMATCH'} (dmax={dd})", flush=True)
+
+        xlo = jnp.asarray(rng.normal(size=(64, c)).astype(np.float32))
+        iref3 = hbf.hbf_int_cascade_init(3, (c,), axis=0)
+        iref3, yint_r = hbf.hbf_int_cascade(iref3, xlo, axis=0)
+        ipl3 = hbf.hbf_int_cascade_init(3, (c,), axis=0)
+        ipl3, yint_p = hbf_int_cascade_bank(ipl3, xlo, time_chunk=32)
+        sc_i = _np2.float32(max(_np2.abs(_np2.asarray(yint_r)).max(), 1.0))
+        di = float(
+            _np2.abs(_np2.asarray(yint_p) - _np2.asarray(yint_r)).max()
+        )
+        okic = di <= 16 * _np2.spacing(sc_i)
+        ok = ok and okic
+        print(f"hbf_int_cascade_bank (<=16 ULP)    "
+              f"{'OK' if okic else 'MISMATCH'} (dmax={di})", flush=True)
+    except Exception as e:  # noqa: BLE001
+        ok = False
+        print(f"hbf cascade banks                  FAILED: {str(e)[:200]}",
+              flush=True)
+
     # RDMA halo kernel: single-chip self-copy ring — compiles the
     # Mosaic semaphore/DMA path on real hardware (multi-chip day-one
     # lowering smoke; VERDICT r2 weak #5)

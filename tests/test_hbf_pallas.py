@@ -1,0 +1,103 @@
+"""Standalone half-band cascade Pallas kernels vs the XLA composition.
+
+Equivalence pattern of reference src/cic.rs:305-387 (modular vs
+monolithic): the one-kernel dec/int cascades must match
+`hbf.hbf_dec_cascade` / `hbf.hbf_int_cascade` (axis=0) — tails are
+copies of samples and must be bit-exact; f32 FIR outputs are gated at
+the FMA-contraction bound (different graphs contract differently).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idsp_tpu.filters import hbf
+from idsp_tpu.filters.hbf_pallas import (
+    hbf_dec_cascade_bank,
+    hbf_int_cascade_bank,
+)
+
+C = 128
+
+
+def _ulp_gate(have, want, k):
+    have = np.asarray(have)
+    want = np.asarray(want)
+    scale = np.float32(max(np.abs(want).max(), 1.0))
+    assert np.abs(have - want).max() <= k * np.spacing(scale)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_dec_cascade_bank_matches_xla(depth):
+    rng = np.random.default_rng(7 + depth)
+    t = 1024
+    x = jnp.asarray(rng.normal(size=(t, C)).astype(np.float32))
+
+    st_ref = hbf.hbf_dec_cascade_init(depth, (C,), axis=0)
+    st_pl = hbf.hbf_dec_cascade_init(depth, (C,), axis=0)
+    # two blocks: exercises the carried tails across calls AND the
+    # in-call grid carry (time_chunk < t)
+    for blk in (x[: t // 2], x[t // 2:]):
+        st_ref, y_ref = hbf.hbf_dec_cascade(st_ref, blk, axis=0)
+        st_pl, y_pl = hbf_dec_cascade_bank(
+            st_pl, blk, time_chunk=128, interpret=True
+        )
+        _ulp_gate(y_pl, y_ref, 16)
+    # stage-0 tails are copies of raw input samples: bit-exact; later
+    # stages carry upstream FIR outputs: FMA-contraction gate
+    np.testing.assert_array_equal(np.asarray(st_pl[0].odd),
+                                  np.asarray(st_ref[0].odd))
+    np.testing.assert_array_equal(np.asarray(st_pl[0].even),
+                                  np.asarray(st_ref[0].even))
+    for a, b in zip(st_pl[1:], st_ref[1:]):
+        _ulp_gate(a.odd, b.odd, 16)
+        _ulp_gate(a.even, b.even, 16)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_int_cascade_bank_matches_xla(depth):
+    rng = np.random.default_rng(17 + depth)
+    t = 256
+    x = jnp.asarray(rng.normal(size=(t, C)).astype(np.float32))
+
+    st_ref = hbf.hbf_int_cascade_init(depth, (C,), axis=0)
+    st_pl = hbf.hbf_int_cascade_init(depth, (C,), axis=0)
+    for blk in (x[: t // 2], x[t // 2:]):
+        st_ref, y_ref = hbf.hbf_int_cascade(st_ref, blk, axis=0)
+        st_pl, y_pl = hbf_int_cascade_bank(
+            st_pl, blk, time_chunk=32, interpret=True
+        )
+        assert y_pl.shape == ((t // 2) << depth, C)
+        _ulp_gate(y_pl, y_ref, 16)
+    # the stage-0 tail is a raw input copy: bit-exact; later stages
+    # carry upstream interpolated output (half FIR values): FMA gate
+    np.testing.assert_array_equal(np.asarray(st_pl[0].x),
+                                  np.asarray(st_ref[0].x))
+    for a, b in zip(st_pl[1:], st_ref[1:]):
+        _ulp_gate(a.x, b.x, 16)
+
+
+def test_round_trip_dec_int_kernels():
+    """16x-style round trip (BASELINE config #4 core) through both
+    kernels: int(dec(x)) passes a tone within the cascade passband."""
+    depth = 3
+    t = 2048
+    n = np.arange(t)
+    f0 = 0.01  # well inside the 0.4/2**depth passband of the low rate
+    x = jnp.asarray(
+        np.broadcast_to(
+            np.cos(2 * np.pi * f0 * n)[:, None], (t, C)
+        ).astype(np.float32)
+    )
+    dst = hbf.hbf_dec_cascade_init(depth, (C,), axis=0)
+    ist = hbf.hbf_int_cascade_init(depth, (C,), axis=0)
+    dst, low = hbf_dec_cascade_bank(dst, x, time_chunk=256, interpret=True)
+    ist, y = hbf_int_cascade_bank(ist, low, time_chunk=32, interpret=True)
+    assert y.shape == (t, C)
+    # equivalence vs the XLA round-trip composition (the
+    # rate_conversion pipeline's core), FMA-contraction gated
+    dst2 = hbf.hbf_dec_cascade_init(depth, (C,), axis=0)
+    ist2 = hbf.hbf_int_cascade_init(depth, (C,), axis=0)
+    _, low_ref = hbf.hbf_dec_cascade(dst2, x, axis=0)
+    _, y_ref = hbf.hbf_int_cascade(ist2, low_ref, axis=0)
+    _ulp_gate(y, y_ref, 32)
