@@ -695,6 +695,14 @@ def main(argv=None):
         jax.jit(lambda st, x: rate_conversion.round_trip(st, x)),
         rate_conversion.init(4, (c,)), x_hbf,
     )
+    if c % 128 == 0:
+        run_trials(
+            "rate conv 16x round trip (pallas)",
+            lambda st, x: rate_conversion.round_trip_t(
+                st, x, use_kernel=True
+            ),
+            rate_conversion.init_t(4, (c,)), x_hbf.T,
+        )
 
     # ---- CIC (cic.rs:400-422) ----
     x_cic = jnp.asarray(
@@ -982,6 +990,7 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "fm receiver bank (one kernel)":
             "fm_disc.rs example (fused disc+atan2+DF1 kernel)",
         "rate conv 16x dec+int round trip": "BASELINE #4 cascade",
+        "rate conv 16x round trip (pallas)": "same (2 kernel dispatches)",
         "hbf dec 3-mul single stage (t-major)":
             "2.5 cyc/item, >2 GS/s/core Skylake",
         "hbf dec 23-mul single stage (t-major)":

@@ -43,6 +43,41 @@ def round_trip(state: RateConvState, x, taps=hbf.HBF_TAPS):
     return RateConvState(dec=st_dec, int_=st_int), y / (1 << depth)
 
 
+def init_t(depth: int = 4, shape=(), dtype=jnp.float32,
+           taps=hbf.HBF_TAPS):
+    """Time-major (t, c) states — for the one-kernel round trip."""
+    return RateConvState(
+        dec=hbf.hbf_dec_cascade_init(depth, shape, dtype, taps, axis=0),
+        int_=hbf.hbf_int_cascade_init(depth, shape, dtype, taps, axis=0),
+    )
+
+
+def round_trip_t(state: RateConvState, x, taps=hbf.HBF_TAPS, *,
+                 use_kernel: bool = False, interpret: bool = False):
+    """Time-major round trip: x (t, c) -> (state, (t, c)).
+
+    With ``use_kernel=True`` both cascades run as single Pallas kernels
+    (filters.hbf_pallas) — one dispatch each way, inter-stage
+    intermediates VMEM-resident; requires c % 128 == 0.
+    """
+    depth = len(state.dec)
+    if use_kernel:
+        from ..filters.hbf_pallas import (
+            hbf_dec_cascade_bank, hbf_int_cascade_bank,
+        )
+
+        st_dec, low = hbf_dec_cascade_bank(
+            state.dec, x, taps=taps, interpret=interpret
+        )
+        st_int, y = hbf_int_cascade_bank(
+            state.int_, low, taps=taps, interpret=interpret
+        )
+    else:
+        st_dec, low = hbf.hbf_dec_cascade(state.dec, x, taps, axis=0)
+        st_int, y = hbf.hbf_int_cascade(state.int_, low, taps, axis=0)
+    return RateConvState(dec=st_dec, int_=st_int), y / (1 << depth)
+
+
 def group_delay(depth: int, taps=hbf.HBF_TAPS) -> int:
     """Total round-trip delay in input samples: each linear-phase stage
     delays by half its response length at its own rate."""

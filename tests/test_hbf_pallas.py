@@ -77,6 +77,24 @@ def test_int_cascade_bank_matches_xla(depth):
         _ulp_gate(a.x, b.x, 16)
 
 
+def test_rate_conversion_kernel_path_depth4():
+    """BASELINE config #4 via the one-kernel cascades at depth 4 ==
+    the XLA pipeline (time-major), FMA-contraction gated."""
+    from idsp_tpu.pipelines import rate_conversion
+
+    rng = np.random.default_rng(4)
+    t = 512
+    x = jnp.asarray(rng.normal(size=(t, C)).astype(np.float32))
+    st_k = rate_conversion.init_t(4, (C,))
+    st_x = rate_conversion.init_t(4, (C,))
+    st_k, y_k = rate_conversion.round_trip_t(
+        st_k, x, use_kernel=True, interpret=True
+    )
+    st_x, y_x = rate_conversion.round_trip_t(st_x, x)
+    assert y_k.shape == (t, C)
+    _ulp_gate(y_k, y_x, 32)
+
+
 def test_round_trip_dec_int_kernels():
     """16x-style round trip (BASELINE config #4 core) through both
     kernels: int(dec(x)) passes a tone within the cascade passband."""
