@@ -17,6 +17,7 @@ import pytest
         ("examples/fm_radio.py", ["fm_radio.py", "4096"]),
         ("examples/lockin.py", ["lockin.py", "16384"]),
         ("examples/channelizer.py", ["channelizer.py", "16"]),
+        ("examples/rate_converter.py", ["rate_converter.py", "8192"]),
     ],
 )
 def test_example_passes(script, argv, monkeypatch):
