@@ -16,12 +16,12 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-force_cpu = bool(__import__("os").environ.get("IDSP_FORCE_CPU"))
-if force_cpu:
+if __import__("os").environ.get("IDSP_FORCE_CPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from idsp_tpu.filters import hbf  # noqa: E402
@@ -38,7 +38,8 @@ def main():
 
     st = rate_conversion.init_t(depth, (c,))
     # the Pallas kernels need the Mosaic TPU path; CPU uses XLA
-    st, y = rate_conversion.round_trip_t(st, xs, use_kernel=not force_cpu)
+    use_kernel = jax.default_backend() != "cpu"
+    st, y = rate_conversion.round_trip_t(st, xs, use_kernel=use_kernel)
     y = np.asarray(y[:, 0], dtype=np.float64)
 
     # coherent tone fit on the steady-state segment (robust to FFT
