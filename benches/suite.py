@@ -720,6 +720,20 @@ def main(argv=None):
     run_trials("cic int N=3 R=16",
                jax.jit(lambda st, x: cic.interpolate_block(st, x, 15)),
                cic.init(3, 1, (c,)), x_cic_lo)
+    if c % 128 == 0:
+        # one-kernel integrator cascade + in-kernel keep-1-in-R
+        from idsp_tpu.filters.cic_pallas import cic_dec_bank, cic_int_bank
+
+        run_trials(
+            "cic dec N=3 R=16 (pallas)",
+            lambda st, x: cic_dec_bank(st, x, 15, time_chunk=512),
+            cic.init(3, 1, (c,)), x_cic.T,
+        )
+        run_trials(
+            "cic int N=3 R=16 (pallas)",
+            lambda st, x: cic_int_bank(st, x, 15, time_chunk=512),
+            cic.init(3, 1, (c,)), x_cic_lo.T,
+        )
 
     # modular recomposition (Integrator^N -> Downsample -> Comb^N),
     # bit-equal to the monolithic path (cic.rs:305-387; the reference
@@ -974,7 +988,9 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "hbf int8 cascade": "476.7 cyc/smp M7",
         "hbf int8 cascade (pallas)": "same",
         "cic dec N=3 R=16": "2.84/1.70 cyc/smp x86 (mono/chunked)",
+        "cic dec N=3 R=16 (pallas)": "same",
         "cic int N=3 R=16": "1.22/2.69 cyc/smp x86 (mono/chunked)",
+        "cic int N=3 R=16 (pallas)": "same",
         "cic dec modular N=3 R=16": "3.02 cyc/smp x86 (modular)",
         "cic int modular N=3 R=16": "1.22 cyc/smp x86 (modular)",
         "f64 df2t (scan)": "40.7 cyc/smp M7",

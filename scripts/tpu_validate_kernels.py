@@ -544,6 +544,39 @@ def main():
           f"{'OK' if dl_ok else 'MISMATCH'} (err={dl_err:.2e})",
           flush=True)
 
+    # CIC bank kernels: integrator cascade in-kernel, bit-exact
+    try:
+        from idsp_tpu.filters import cic
+        from idsp_tpu.filters.cic_pallas import cic_dec_bank, cic_int_bank
+
+        x_cd = ri32((960, c))
+        std_r = cic.init(3, 1, (c,))
+        std_r, ycd_r = cic.decimate_block(std_r, x_cd, 15, axis=0)
+        std_p = cic.init(3, 1, (c,))
+        std_p, ycd_p = cic_dec_bank(std_p, x_cd, 15, time_chunk=480)
+        okcd = (np.array_equal(np.asarray(ycd_p), np.asarray(ycd_r))
+                and np.array_equal(np.asarray(std_p.integrators),
+                                   np.asarray(std_r.integrators)))
+        ok = ok and okcd
+        print(f"cic_dec_bank (bit-eq)              "
+              f"{'OK' if okcd else 'MISMATCH'}", flush=True)
+
+        x_ci = ri32((64, c), lim=2**12)
+        sti_r = cic.init(3, 1, (c,))
+        sti_r, yci_r = cic.interpolate_block(sti_r, x_ci, 15, axis=0)
+        sti_p = cic.init(3, 1, (c,))
+        sti_p, yci_p = cic_int_bank(sti_p, x_ci, 15, time_chunk=512)
+        okci = (np.array_equal(np.asarray(yci_p), np.asarray(yci_r))
+                and np.array_equal(np.asarray(sti_p.integrators),
+                                   np.asarray(sti_r.integrators)))
+        ok = ok and okci
+        print(f"cic_int_bank (bit-eq)              "
+              f"{'OK' if okci else 'MISMATCH'}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        ok = False
+        print(f"cic banks                          FAILED: {str(e)[:200]}",
+              flush=True)
+
     # standalone half-band cascade kernels (hbf_pallas): dec + int
     try:
         from idsp_tpu.filters.hbf_pallas import (
