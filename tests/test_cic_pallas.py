@@ -45,6 +45,47 @@ def test_cic_dec_bank_bit_exact(n, m, rate):
     _eq_state(st_pl, st_ref)
 
 
+def test_channel_sharded_cic_dec_bitexact():
+    """cic_dec_bank under channel (dp) sharding: per-channel integer
+    math is independent — the 8-device result is BIT-identical."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from idsp_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh({"dp": n_dev})
+    c2 = 128 * n_dev
+    t = 480
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(t, c2), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    st = cic.init(3, 1, (c2,))
+
+    def run(s, xv):
+        return cic_dec_bank(s, xv, 15, time_chunk=240, interpret=True)
+
+    st_ref, y_ref = run(st, x)
+    st_spec = cic.CicState(
+        combs=P("dp", None, None), integrators=P("dp", None), zoh=P("dp")
+    )
+    fn = jax.jit(
+        shard_map(
+            run, mesh=mesh,
+            in_specs=(st_spec, P(None, "dp")),
+            out_specs=(st_spec, P(None, "dp")),
+            check_vma=False,
+        )
+    )
+    st_sh, y_sh = fn(st, x)
+    _eq(y_sh, y_ref)
+    _eq_state(st_sh, st_ref)
+
+
 @pytest.mark.parametrize("n,m,rate", [(3, 1, 15), (2, 2, 7)])
 def test_cic_int_bank_bit_exact(n, m, rate):
     rng = np.random.default_rng(200 + n)

@@ -77,6 +77,58 @@ def test_int_cascade_bank_matches_xla(depth):
         _ulp_gate(a.x, b.x, 16)
 
 
+def test_channel_sharded_cascades_bitexact():
+    """Both cascade kernels under channel (dp) sharding: per-channel
+    FIR math is independent — N-device results are BIT-identical."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from idsp_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh({"dp": n_dev})
+    c2 = 128 * n_dev
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(256, c2)).astype(np.float32))
+
+    def run_dec(s, xv):
+        return hbf_dec_cascade_bank(s, xv, time_chunk=128, interpret=True)
+
+    st = hbf.hbf_dec_cascade_init(3, (c2,), axis=0)
+    st_ref, y_ref = run_dec(st, x)
+    sspec = (hbf.HbfDecState(odd=P(None, "dp"), even=P(None, "dp")),) * 3
+    fn = jax.jit(
+        shard_map(
+            run_dec, mesh=mesh,
+            in_specs=(sspec, P(None, "dp")),
+            out_specs=(sspec, P(None, "dp")),
+            check_vma=False,
+        )
+    )
+    st_sh, y_sh = fn(st, x)
+    np.testing.assert_array_equal(np.asarray(y_sh), np.asarray(y_ref))
+
+    xl = jnp.asarray(rng.normal(size=(32, c2)).astype(np.float32))
+
+    def run_int(s, xv):
+        return hbf_int_cascade_bank(s, xv, time_chunk=16, interpret=True)
+
+    sti = hbf.hbf_int_cascade_init(3, (c2,), axis=0)
+    sti_ref, yi_ref = run_int(sti, xl)
+    ispec = (hbf.HbfIntState(x=P(None, "dp")),) * 3
+    fni = jax.jit(
+        shard_map(
+            run_int, mesh=mesh,
+            in_specs=(ispec, P(None, "dp")),
+            out_specs=(ispec, P(None, "dp")),
+            check_vma=False,
+        )
+    )
+    sti_sh, yi_sh = fni(sti, xl)
+    np.testing.assert_array_equal(np.asarray(yi_sh), np.asarray(yi_ref))
+
+
 def test_rate_conversion_kernel_path_depth4():
     """BASELINE config #4 via the one-kernel cascades at depth 4 ==
     the XLA pipeline (time-major), FMA-contraction gated."""
