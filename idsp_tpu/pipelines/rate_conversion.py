@@ -113,3 +113,39 @@ def cic_hbf_decimate(
         hbf_states, mid.astype(jnp.float32), taps
     )
     return (cic_state, hbf_states), y
+
+
+def cic_hbf_decimate_t(
+    cic_state: cic.CicState,
+    hbf_states,
+    x,
+    cic_rate: int,
+    hbf_depth: int,
+    taps=hbf.HBF_TAPS,
+    *,
+    use_kernel: bool = False,
+    interpret: bool = False,
+):
+    """Time-major composite decimator ((t, c) blocks).
+
+    ``use_kernel=True`` runs the CIC integrator cascade and the HBF
+    cascade as one Pallas kernel each (c % 128 == 0); the CIC leg stays
+    bit-identical to the XLA path, the HBF leg is FMA-gated.
+    """
+    if use_kernel:
+        from ..filters.cic_pallas import cic_dec_bank
+        from ..filters.hbf_pallas import hbf_dec_cascade_bank
+
+        cic_state, mid = cic_dec_bank(
+            cic_state, x, cic_rate, interpret=interpret
+        )
+        hbf_states, y = hbf_dec_cascade_bank(
+            hbf_states, mid.astype(jnp.float32), taps=taps,
+            interpret=interpret,
+        )
+    else:
+        cic_state, mid = cic.decimate_block(cic_state, x, cic_rate, axis=0)
+        hbf_states, y = hbf.hbf_dec_cascade(
+            hbf_states, mid.astype(jnp.float32), taps, axis=0
+        )
+    return (cic_state, hbf_states), y

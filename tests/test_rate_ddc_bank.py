@@ -297,3 +297,37 @@ def test_ddc_bank_fast_lo_non_pow2_block():
         lo_mode="fast",
     )
     assert out[0].shape == (12, c)
+
+
+def test_cic_hbf_composite_kernel_path():
+    """Time-major composite decimator via the kernel path == XLA path
+    (CIC leg bit-exact, HBF leg FMA-gated)."""
+    import numpy as np
+
+    cic_rate = 3  # CIC by 4 then HBF by 4: total 16x
+    depth = 2
+    c = 128
+    t = 16 * 64
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(
+        rng.integers(-(2**20), 2**20, size=(t, c), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    cs_a = cic.init(3, 1, (c,))
+    hs_a = hbf.hbf_dec_cascade_init(depth, (c,), axis=0)
+    cs_b = cic.init(3, 1, (c,))
+    hs_b = hbf.hbf_dec_cascade_init(depth, (c,), axis=0)
+    (cs_a, hs_a), y_ref = rate_conversion.cic_hbf_decimate_t(
+        cs_a, hs_a, x, cic_rate, depth
+    )
+    (cs_b, hs_b), y_k = rate_conversion.cic_hbf_decimate_t(
+        cs_b, hs_b, x, cic_rate, depth, use_kernel=True, interpret=True
+    )
+    assert y_k.shape == (t // 16, c)
+    np.testing.assert_array_equal(
+        np.asarray(cs_b.integrators), np.asarray(cs_a.integrators)
+    )
+    scale = np.float32(max(np.abs(np.asarray(y_ref)).max(), 1.0))
+    assert np.abs(np.asarray(y_k) - np.asarray(y_ref)).max() \
+        <= 16 * np.spacing(scale)
