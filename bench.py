@@ -335,5 +335,27 @@ def main():
     )
 
 
+def _main_with_retry():
+    """The axon tunnel flaps for hours at a time (see ROADMAP round-3
+    note); a failed backend init takes ~25 min to time out AND is
+    cached by JAX for the process lifetime — so retry by re-exec'ing
+    the process, not in-process."""
+    import os
+    import sys
+
+    retries = int(os.environ.get("IDSP_BENCH_INIT_RETRIES", "2"))
+    attempt = int(os.environ.get("IDSP_BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e) or attempt >= retries:
+            raise
+        print(f"# backend unavailable (attempt {attempt + 1}/"
+              f"{retries + 1}); re-exec in 120 s", flush=True)
+        time.sleep(120)
+        os.environ["IDSP_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
