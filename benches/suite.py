@@ -998,7 +998,9 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "wdf-ca-19 (pallas)": "same",
         "q32 clamp df1+hbf dec8 (one kernel)": "fused production chain",
         "fastlo mix+df1+hbf dec8 (one kernel)":
-            "full headline chain; >= 1 GS/s north star",
+            "full headline chain at c/2 real channels "
+            "(I|Q packed in c lanes; bench.py runs c ch at 2x this "
+            "rate); >= 1 GS/s north star",
         "ddc lockin bank (f32 assoc)": "ddc_lockin.rs example",
         "ddc lockin bank (one kernel)":
             "ddc_lockin.rs example (fused factored-LO kernel)",

@@ -397,14 +397,16 @@ def atan2_i32(y, x):
 
 
 def _x_rows_from_lanes(xl, tc: int):
-    """(tc//128, 128) row-major packed x -> (tc, 128) with every lane of
-    row i holding x[i], via per-group 128x128 broadcast + transpose.
+    """(1, tc//128, 128) row-major packed x block -> (tc, 128) with
+    every lane of row i holding x[i], via per-group 128x128 broadcast +
+    transpose.
 
     Streams the scalar input at 4 B/sample instead of the 512 B/sample
     a (t, 1, 128) lane-replicated operand costs (x_layout="lanes")."""
+    x2 = xl[...].reshape(tc // 128, 128)
     groups = []
     for g in range(tc // 128):
-        m = jnp.broadcast_to(xl[g][None, :], (128, 128))
+        m = jnp.broadcast_to(x2[g][None, :], (128, 128))
         groups.append(m.T)
     return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
 
@@ -413,9 +415,12 @@ def _fastlo_x_operand(xh, t: int, tc: int, x_layout: str):
     """(operand, BlockSpec) for the pre-scaled scalar input stream —
     lane-packed (4 B/sample) or lane-replicated (512 B/sample)."""
     if x_layout == "lanes":
-        assert tc % 128 == 0 and t % 128 == 0
-        return xh.reshape(t // 128, 128), pl.BlockSpec(
-            (tc // 128, 128), lambda i: (i, i * 0),
+        assert tc % 128 == 0 and t % tc == 0
+        # Grid axis leads; the block covers the WHOLE trailing two dims
+        # so Mosaic's (8, 128)-divisibility rule is satisfied for any
+        # tc (block dims equal to the array dims are always legal).
+        return xh.reshape(t // tc, tc // 128, 128), pl.BlockSpec(
+            (1, tc // 128, 128), lambda i: (i, i * 0, i * 0),
             memory_space=pltpu.VMEM,
         )
     return (
