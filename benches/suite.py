@@ -681,8 +681,12 @@ def main(argv=None):
         ba_fm_np = np.asarray(ba_fm)
         run_trials(
             "fm receiver bank (one kernel)",
+            # swept optimum tc=1024 (scripts/tpu_fm_probe.py); the
+            # composed path above is still faster single-chip — see
+            # fm_pallas.fm_disc_bank docstring
             lambda st, re, im: fm_disc_bank(
-                ba_fm_np, st, re, im, 12345, time_chunk=tc
+                ba_fm_np, st, re, im, 12345,
+                time_chunk=min(1024, t),
             ),
             fm_disc.init_state((c,)), re_fm, im_fm,
         )
@@ -1006,7 +1010,9 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "ddc_lockin.rs example (fused factored-LO kernel)",
         "fm receiver bank": "fm_disc.rs example",
         "fm receiver bank (one kernel)":
-            "fm_disc.rs example (fused disc+atan2+DF1 kernel)",
+            "fm_disc.rs example (fused disc+atan2+DF1 kernel; "
+            "compute-bound on full-rate in-kernel atan2 — composed "
+            "path above is faster single-chip)",
         "rate conv 16x dec+int round trip": "BASELINE #4 cascade",
         "rate conv 16x round trip (pallas)": "same (2 kernel dispatches)",
         "hbf dec 3-mul single stage (t-major)":
@@ -1033,14 +1039,30 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "ddc bank 1024ch (lp2 stack, 1 kernel)":
             "BASELINE #5 headline config, one kernel",
     }
+    wandered = []
     for r in rows:
         med, spread = gs(r.name)
+        mark = ""
+        if spread != "—" and float(spread.rstrip("%")) > 40.0:
+            mark = " †"
+            wandered.append(r.name)
         lines.append(
-            f"| {r.name} | {med} | {spread} |"
+            f"| {r.name} | {med} | {spread}{mark} |"
             f" {baselines.get(r.name, '—')} |"
         )
     lines += [
         "",
+    ]
+    if wandered:
+        lines += [
+            "† spread stayed > 40% after adaptive re-measurement (4x "
+            "trial budget, outlier-trimmed): the chip's effective "
+            "clock wanders run-to-run and dominates short-runtime "
+            "rows; the median is the honest central estimate and the "
+            "bracketed min/max bound the wander.",
+            "",
+        ]
+    lines += [
         f"_Run date: {datetime.date.today().isoformat()}._",
         "",
         "## Raw rows",

@@ -58,9 +58,18 @@ def _disc_rows(a_re, a_im, b_re, b_im, carrier: int):
 
 
 def fm_disc_bank(ba, state, re, im, carrier: int, f: int = 30, *,
-                 time_chunk: int = 256, unroll: int = 4,
+                 time_chunk: int = 1024, unroll: int = 4,
                  trig_sub: int = 8, interpret: bool = False):
     """The whole FM receiver in ONE kernel over a channel bank.
+
+    Note (on-device sweep, scripts/tpu_fm_probe.py, 2026-08-18): the
+    composed XLA path (`fm_disc.fm_receiver`) is FASTER on a single
+    chip (~7.7 vs ~5.3 GS/s at the best kernel config, tc=1024) — the
+    discriminator's atan2 runs at full rate, and the in-kernel
+    select/limb chain costs ~1.5x XLA's fused elementwise version
+    while the fusion only saves ~4 B/sample of HBM traffic.  Use the
+    kernel when HBM pressure (not compute) dominates; defaults encode
+    the swept optimum.
 
     Args:
       ba: (5,) i32 Q32<f> deemphasis coefficients (static).

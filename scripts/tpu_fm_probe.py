@@ -8,9 +8,12 @@ saves only ~4 B/sample of HBM traffic, so it can never win here
 (unlike the DDC whole-stack kernel, whose atan2 runs post-decimation
 at 1/16 rate).  This probe distinguishes them.
 """
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 
