@@ -4,15 +4,19 @@
 
 PY ?= python
 
-.PHONY: ci lint test golden dryrun bench-smoke
+.PHONY: ci lint test test-full golden dryrun bench-smoke
 
-ci: lint test dryrun bench-smoke
+ci: lint test-full dryrun bench-smoke
 
 lint:
 	$(PY) -m compileall -q idsp_tpu benches scripts tests bench.py __graft_entry__.py
 	$(PY) scripts/lint.py
 
+# quick lane: skips the `slow`-marked long tail (see tests/conftest.py)
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-full:
 	$(PY) -m pytest tests/ -q
 
 golden:

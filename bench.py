@@ -277,6 +277,29 @@ def main():
     # exact-LO folded kernels, the split composition, and the scan.
     # The selected mode is reported in the JSON so a silent fallback
     # (a broken fast path degrading the headline) is visible.
+    #
+    # Only ENVIRONMENT failures may demote the mode (Mosaic lowering
+    # gaps on this backend, VMEM budget, backend init flaps) — a
+    # genuine kernel bug must fail the bench loudly, not silently
+    # publish a slower mode's number (VERDICT r3 weak #6).
+    def _expected_fallback(e: Exception) -> bool:
+        if isinstance(e, RuntimeError) and "UNAVAILABLE" in str(e):
+            raise e  # backend down: handled by _main_with_retry
+        msg = f"{type(e).__name__}: {e}"
+        return any(
+            key in msg
+            for key in (
+                "Mosaic",            # kernel lowering gap on this backend
+                "legalize",          # MLIR legalization failure
+                "RESOURCE_EXHAUSTED",
+                "vmem",
+                "VMEM",
+                "Unsupported",
+                "NotImplementedError",
+                "INTERNAL",          # tunnel-side compile service errors
+            )
+        )
+
     run = None
     for mode in ("fastlo_fused", "fold3_fastlo", "fold3", "fold2", "fold",
                  "split", "fused", "pallas", "scan"):
@@ -286,7 +309,11 @@ def main():
             s, (zi, zq) = run(state, x)
             _ = float(jnp.sum(zi))
             break
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            if not _expected_fallback(e):
+                raise
+            print(f"# mode {mode} unavailable on this backend: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             run = None
     assert run is not None
 

@@ -1,0 +1,530 @@
+"""Roofline: measured machine peaks + static op counts -> %-of-peak.
+
+The reference publishes cycles/sample and "<4 insn/item" for its hot
+paths (hbf.rs:32, cic.rs:400-422); this is the TPU analog that turns
+"N GS/s" into a verdict.  Two artifacts, regenerated on-device:
+
+* ``ROOFLINE_PEAKS.json`` — micro-probed per-category peak rates
+  (lane-ops/s counted exactly as `idsp_tpu.roofline.count_ops` counts,
+  so model and measurement use the same currency), plus MXU FLOPs/s
+  and HBM bytes/s.
+* ``ROOFLINE.md`` / ``ROOFLINE.json`` — for each flagship config: the
+  statically counted ops/sample by category, the speed-of-light rate
+  implied by the peaks, the measured rate, and achieved % of the
+  roofline with the limiting unit named.
+
+Run: ``python benches/roofline.py [--peaks-only] [--skip-measure]``
+(detached on the device; compiles are cached).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+PEAKS_PATH = os.path.join(HERE, "ROOFLINE_PEAKS.json")
+JSON_PATH = os.path.join(HERE, "ROOFLINE.json")
+MD_PATH = os.path.join(HERE, "ROOFLINE.md")
+
+
+def _measure(fn, *args, iters=8, trials=6, sync=None):
+    """Seconds per dispatch by iteration differencing, min over trials.
+
+    ``iters`` auto-scales so the differenced leg is >= ~50 ms — the
+    tunnel's multi-ms dispatch jitter otherwise dominates sub-ms
+    kernels and fabricates rates in either direction."""
+    out = fn(*args)
+    sync(out)
+    def timed(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        sync(out)
+        return time.perf_counter() - t0
+    # rough per-dispatch COMPUTE time (difference cancels the fixed
+    # dispatch+readback round trip, which is ~30-60 ms on the tunnel)
+    est = max((timed(10) - timed(2)) / 8.0, 1e-6)
+    iters = max(iters, int(0.05 / est) + 1)
+    iters = min(iters, 3000)
+    best = float("inf")
+    for _ in range(trials):
+        for _attempt in range(3):
+            d1 = min(timed(iters), timed(iters))
+            d2 = min(timed(3 * iters), timed(3 * iters))
+            dt = (d2 - d1) / (2 * iters)
+            if dt > 0:
+                best = min(best, dt)
+                break
+    assert best < float("inf")
+    return best
+
+
+#: independent accumulator streams per probe — enough ILP to hide the
+#: VPU pipeline latency (a single dependent chain measures 1/latency,
+#: not the issue rate; kernels then "exceed" the peak).
+NACC = 8
+ROUNDS = 64
+
+
+def measure_peaks(jnp, jax, sync):
+    """Micro-probe the chip's per-category peak rates.
+
+    Each probe runs NACC RING-COUPLED accumulators (round r+1 of
+    stream i reads streams i and i+1 of round r): updates within a
+    round are independent (ILP = NACC hides op latency) while the
+    cross-stream coupling makes the whole chain a dense matrix power
+    XLA cannot algebraically collapse (it CAN and DOES collapse
+    independent integer `y = y*a + b` chains — wrapping int math is
+    distributive).  Rates are derived from the SAME op counter the
+    model uses (`count_ops`), so probe and model share one currency;
+    mixed probes subtract already-measured categories and solve.
+    """
+    from idsp_tpu.roofline import count_ops
+
+    rng = np.random.default_rng(0)
+    peaks = {}
+    shp = (2048, 512)
+
+    def ring_probe(update, arrays, iters=8, trials=6):
+        def fn(*accs):
+            a = list(accs)
+            for _ in range(ROUNDS):
+                a = [update(a, i) for i in range(NACC)]
+            return tuple(a)
+
+        counts = count_ops(fn, *arrays)
+        dt = _measure(jax.jit(fn), *arrays, iters=iters, trials=trials,
+                      sync=sync)
+        return counts, dt
+
+    def farrs():
+        return tuple(
+            jnp.asarray(rng.normal(size=shp).astype(np.float32) * 0.5)
+            for _ in range(NACC)
+        )
+
+    def iarrs(dtype=np.int32):
+        return tuple(
+            jnp.asarray(rng.integers(
+                -2**30, 2**30, size=shp, dtype=np.int64).astype(dtype))
+            for _ in range(NACC)
+        )
+
+    # --- f32 FMA ring ---
+    mf = jnp.float32(0.57)
+    c, dt = ring_probe(
+        lambda a, i: a[i] * mf + a[(i + 1) % NACC], farrs())
+    peaks["f32"] = c.f32 / dt
+    print(f"peak f32      {peaks['f32']/1e12:8.3f} Tops/s "
+          f"(probe {dt*1e3:.2f} ms)", flush=True)
+
+    # --- i32 non-mul ALU (add + xor) ---
+    c, dt = ring_probe(
+        lambda a, i: (a[i] + a[(i + 1) % NACC]) ^ a[(i + 2) % NACC],
+        iarrs())
+    peaks["i32"] = c.i32 / dt
+    print(f"peak i32 alu  {peaks['i32']/1e12:8.3f} Tops/s", flush=True)
+
+    # --- i32 multiply (pure mul ring) ---
+    c, dt = ring_probe(
+        lambda a, i: a[i] * (a[(i + 1) % NACC] | jnp.int32(1)), iarrs())
+    t_alu = c.i32 / peaks["i32"]
+    peaks["i32_mul"] = c.i32_mul / max(dt - t_alu, dt * 0.05)
+    print(f"peak i32 mul  {peaks['i32_mul']/1e12:8.3f} Tops/s",
+          flush=True)
+
+    # --- i64 (x64 is enabled package-wide) ---
+    c, dt = ring_probe(
+        lambda a, i: (a[i] + a[(i + 1) % NACC]) ^ a[(i + 2) % NACC],
+        iarrs(np.int64))
+    peaks["i64"] = c.i64 / dt
+    print(f"peak i64 alu  {peaks['i64']/1e12:8.3f} Tops/s", flush=True)
+
+    c, dt = ring_probe(
+        lambda a, i: a[i] * (a[(i + 1) % NACC] | jnp.int64(1)),
+        iarrs(np.int64))
+    t_alu = c.i64 / peaks["i64"]
+    peaks["i64_mul"] = c.i64_mul / max(dt - t_alu, dt * 0.05)
+    print(f"peak i64 mul  {peaks['i64_mul']/1e12:8.3f} Tops/s",
+          flush=True)
+
+    # --- cmp + select (no ALU) ---
+    c, dt = ring_probe(
+        lambda a, i: jnp.where(a[i] > a[(i + 1) % NACC],
+                               a[(i + 1) % NACC], a[i]),
+        iarrs())
+    r_cs = (c.cmp + c.select) / dt
+    peaks["cmp"] = peaks["select"] = r_cs
+    print(f"peak cmp/sel  {r_cs/1e12:8.3f} Tops/s", flush=True)
+
+    # --- convert (i32<->f32 round trip; xor keeps streams coupled) ---
+    c, dt = ring_probe(
+        lambda a, i: (a[i] ^ a[(i + 1) % NACC]).astype(
+            jnp.float32).astype(jnp.int32),
+        iarrs())
+    t_alu = c.i32 / peaks["i32"]
+    peaks["convert"] = c.convert / max(dt - t_alu, dt * 0.05)
+    print(f"peak convert  {peaks['convert']/1e12:8.3f} Tops/s",
+          flush=True)
+
+    # --- f32 divide ---
+    c, dt = ring_probe(
+        lambda a, i: a[(i + 1) % NACC] / (a[i] * a[i] + jnp.float32(1.3)),
+        farrs())
+    t_f = c.f32 / peaks["f32"]
+    peaks["div"] = c.div / max(dt - t_f, dt * 0.05)
+    print(f"peak div      {peaks['div']/1e12:8.3f} Tops/s", flush=True)
+
+    # --- transcendental (exp) ---
+    c, dt = ring_probe(
+        lambda a, i: jnp.exp((a[i] - a[(i + 1) % NACC])
+                             * jnp.float32(-0.01)),
+        farrs())
+    t_f = c.f32 / peaks["f32"]
+    peaks["trans"] = c.trans / max(dt - t_f, dt * 0.05)
+    print(f"peak trans    {peaks['trans']/1e12:8.3f} Tops/s", flush=True)
+
+    # --- MXU: bf16 and f32 matmuls ---
+    m = 4096
+    ab = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32))
+    bb = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32))
+
+    def mm_bf16(a, b):
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+    def mm_f32(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    flops = 2.0 * m * m * m
+    dt = _measure(jax.jit(mm_bf16), ab, bb, iters=4, sync=sync)
+    peaks["mxu"] = flops / dt
+    print(f"peak MXU bf16 {peaks['mxu']/1e12:8.2f} TFLOP/s", flush=True)
+    dt = _measure(jax.jit(mm_f32), ab, bb, iters=4, sync=sync)
+    peaks["mxu_f32"] = flops / dt
+    print(f"peak MXU f32  {peaks['mxu_f32']/1e12:8.2f} TFLOP/s",
+          flush=True)
+
+    # --- HBM stream (read + write) ---
+    big = jnp.asarray(rng.normal(size=(32 * 2**20,)).astype(np.float32))
+
+    def stream(x):
+        return x + jnp.float32(1.0)
+
+    nbytes = big.size * 4 * 2  # read + write
+    dt = _measure(jax.jit(stream), big, iters=8, sync=sync)
+    peaks["hbm"] = nbytes / dt
+    print(f"peak HBM      {peaks['hbm']/1e9:8.1f} GB/s", flush=True)
+    return peaks
+
+
+# --- flagship configs ----------------------------------------------------------
+
+
+def flagship_configs(jnp):
+    """Yield (name, fn, args, samples, hbm_bytes_fn).
+
+    ``samples`` = full-rate input samples x channels (the suite's
+    currency).  ``fn(*args)`` is the jittable call; static counting
+    traces exactly this call.
+    """
+    import jax
+
+    from idsp_tpu.design import Filter
+    from idsp_tpu.filters import biquad, cic, hbf
+    from idsp_tpu.filters.biquad_pallas import df1_bank_q
+    from idsp_tpu.filters.cic_pallas import cic_dec_bank
+    from idsp_tpu.filters.ddc_pallas import (
+        fastlo_ddc_cascade_bank, hbf1_tail_init,
+    )
+    from idsp_tpu.filters.hbf_pallas import hbf_dec_cascade_bank
+    from idsp_tpu.pipelines import channelizer, ddc_bank, fm_disc
+
+    rng = np.random.default_rng(0)
+    c, t = 512, 32768
+
+    def ri32(shape, lim=2**27):
+        return jnp.asarray(rng.integers(
+            -lim, lim, size=shape, dtype=np.int64).astype(np.int32))
+
+    ba_q = jnp.asarray(biquad.quantize_ba(
+        biquad.from_cookbook(Filter().critical_frequency(0.02).lowpass()),
+        29))
+    x1 = ri32((t,))
+    steps = jnp.asarray(rng.integers(
+        1 << 24, 1 << 30, size=(c,), dtype=np.int64).astype(np.int32))
+    tails3 = tuple(hbf1_tail_init(2 * c, m) for m in (5, 10, 23))
+    st0 = biquad.df1_init((2 * c,), jnp.int32)
+    ph0 = jnp.zeros((c,), jnp.int32)
+
+    def headline(st, tls, ph, x):
+        return fastlo_ddc_cascade_bank(
+            ba_q, st, tls, ph, steps, x, 29, time_chunk=128, unroll=4)
+
+    yield ("ddc chain fastlo_fused (1 kernel)", headline,
+           (st0, tails3, ph0, x1), t * c)
+
+    xs2 = ri32((t, 2 * c))
+
+    def df1(st, xs):
+        return df1_bank_q(ba_q, st, xs, 29, time_chunk=512)
+
+    yield ("df1_bank_q i32", df1, (st0, xs2), t * 2 * c)
+
+    xf = jnp.asarray(rng.normal(size=(t, 2 * c)).astype(np.float32))
+    hbf_states = hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0)
+
+    def hbf3(sts, xs):
+        return hbf_dec_cascade_bank(sts, xs, time_chunk=512)
+
+    yield ("hbf dec cascade x8 (1 kernel)", hbf3, (hbf_states, xf),
+           t * 2 * c)
+
+    # FM receiver: composed vs one-kernel (VERDICT r3 weak #2 diagnosis)
+    carrier = int(np.int32(123456789))
+    fm_st = fm_disc.init_state((c,))
+    xre, xim = ri32((t, c)), ri32((t, c))
+    ba30 = jnp.asarray(biquad.quantize_ba(
+        biquad.from_cookbook(Filter().critical_frequency(0.05).lowpass()),
+        30))
+
+    def fm_composed(st, re, im):
+        return fm_disc.fm_receiver(st, re, im, carrier, ba30, 30)
+
+    yield ("fm receiver (composed)", fm_composed, (fm_st, xre, xim),
+           t * c)
+
+    from idsp_tpu.filters.fm_pallas import fm_disc_bank
+
+    def fm_one(st, re, im):
+        return fm_disc_bank(ba30, st, re, im, carrier, 30)
+
+    yield ("fm receiver (one kernel)", fm_one, (fm_st, xre, xim), t * c)
+
+    def fm_fast(st, re, im):
+        return fm_disc_bank(ba30, st, re, im, carrier, 30, angle="fast")
+
+    yield ("fm receiver (1 kernel, fast atan)", fm_fast,
+           (fm_st, xre, xim), t * c)
+
+    # CIC decimator N=3 R=16
+    cic_st = cic.init(3, 1, (c,), dtype=jnp.int32)
+    xcic = ri32((t, c), lim=2**16)
+
+    def cicd(st, xs):
+        return cic_dec_bank(st, xs, 15, time_chunk=512)
+
+    yield ("cic dec N=3 R=16 (1 kernel)", cicd, (cic_st, xcic), t * c)
+
+    # channelizer M=1024 (both DFT modes); 1024 frames/dispatch — the
+    # ~100 us dispatch floor dominates smaller batches (see
+    # scripts/tpu_channelizer_probe.py)
+    m = 1024
+    nfr = 1024
+    xch = jnp.asarray(rng.normal(size=(nfr, m, 2)).astype(np.float32))
+    ch_st = channelizer.init(m, 4)
+
+    def chan_mm(st, xs):
+        return channelizer.channelize(st, xs, m=m, taps=4, dft="matmul")
+
+    def chan_fft(st, xs):
+        return channelizer.channelize(st, xs, m=m, taps=4, dft="fft")
+
+    yield ("channelizer m=1024 (matmul)", chan_mm, (ch_st, xch), nfr * m)
+    yield ("channelizer m=1024 (fft)", chan_fft, (ch_st, xch), nfr * m)
+
+    zr_pl = jnp.asarray(rng.normal(size=(nfr, m)).astype(np.float32))
+    zi_pl = jnp.asarray(rng.normal(size=(nfr, m)).astype(np.float32))
+    pst = channelizer.init_planes(m, 4)
+
+    def chan_planes(st, a, b):
+        return channelizer.channelize_planes(st, a, b, m=m, taps=4)
+
+    def chan_planes_bf16(st, a, b):
+        return channelizer.channelize_planes(
+            st, a, b, m=m, taps=4, twiddle_dtype=jnp.bfloat16)
+
+    yield ("channelizer m=1024 (planes)", chan_planes,
+           (pst, zr_pl, zi_pl), nfr * m)
+    yield ("channelizer m=1024 (planes bf16)", chan_planes_bf16,
+           (pst, zr_pl, zi_pl), nfr * m)
+
+    # 1024-channel whole-stack DDC bank (BASELINE #5 class)
+    from idsp_tpu.filters import pll as _pll
+
+    cb, tb, d = 1024, 16384, 16
+    xb = ri32((tb,))
+    steps_b = jnp.asarray(rng.integers(
+        1 << 24, 1 << 30, size=(cb,), dtype=np.int64).astype(np.int32))
+    pll_ba = tuple(
+        int(v) for v in _pll.coefficients_from_bandwidth(2e-2, 4.0))
+    ba_qt = tuple(int(v) for v in np.asarray(ba_q))
+    stb = ddc_bank.init_biquad(cb)
+
+    def whole_stack(st, x):
+        return ddc_bank.ddc_bank_block_biquad(
+            st, x, steps_b, ba_qt, pll_ba, decimate=d,
+            lo_mode="one_kernel")
+
+    yield ("1024-ch ddc bank whole stack", whole_stack, (stb, xb),
+           tb * cb)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--peaks-only", action="store_true")
+    ap.add_argument("--skip-measure", action="store_true",
+                    help="static counts only (no device timing)")
+    ap.add_argument("--only", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("IDSP_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    from idsp_tpu.profiling import sync
+    from idsp_tpu.roofline import count_ops, io_bytes, model_time
+
+    device = str(jax.devices()[0])
+    print("device:", device, flush=True)
+
+    if args.skip_measure and os.path.exists(PEAKS_PATH):
+        peaks = json.load(open(PEAKS_PATH))["peaks"]
+    else:
+        peaks = measure_peaks(jnp, jax, sync)
+        with open(PEAKS_PATH, "w") as fh:
+            json.dump({"device": device, "peaks": peaks}, fh, indent=1)
+        print(f"wrote {PEAKS_PATH}", flush=True)
+    if args.peaks_only:
+        return 0
+
+    results = []
+    for name, fn, fargs, samples in flagship_configs(jnp):
+        if args.only and args.only not in name:
+            continue
+        counts = count_ops(fn, *fargs)
+        ib, ob = io_bytes(fn, *fargs)
+        mt = model_time(counts, peaks, hbm_bytes=float(ib + ob))
+        limit_rate = samples / mt["total"] if mt["total"] else float(
+            "inf")
+        bound = max(("vpu", mt["vpu"]), ("mxu", mt["mxu"]),
+                    ("hbm", mt["hbm"]), key=lambda kv: kv[1])[0]
+        achieved = None
+        pct = None
+        if not args.skip_measure:
+            try:
+                jfn = jax.jit(fn)
+                dt = _measure(jfn, *fargs, iters=6, sync=sync)
+                achieved = samples / dt
+                pct = 100.0 * achieved / limit_rate
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name}: measure failed: {str(e)[:160]}",
+                      flush=True)
+        rec = {
+            "name": name,
+            "samples": samples,
+            "ops_per_sample": {
+                cat: getattr(counts, cat) / samples
+                for cat in ("f32", "i32", "i64", "cmp", "select",
+                            "convert", "div", "trans")
+                if getattr(counts, cat)
+            },
+            "vpu_ops_per_sample": counts.vpu_total / samples,
+            "mxu_flops_per_sample": counts.mxu_flops / samples,
+            "gather_per_sample": counts.gather_elems / samples,
+            "io_bytes_per_sample": (ib + ob) / samples,
+            "model_s": mt,
+            "limit_gs": limit_rate / 1e9,
+            "bound": bound,
+            "achieved_gs": None if achieved is None else achieved / 1e9,
+            "pct_of_peak": pct,
+            "unknown_trips": len(counts.unknown_trip_counts),
+        }
+        results.append(rec)
+        ach = "--" if achieved is None else f"{achieved/1e9:7.2f}"
+        pc = "--" if pct is None else f"{pct:5.1f}%"
+        print(f"{name:38s} vpu={counts.vpu_total/samples:7.2f} ops/S "
+              f"mxu={counts.mxu_flops/samples:8.1f} F/S "
+              f"limit={limit_rate/1e9:8.2f} GS/s [{bound}] "
+              f"achieved={ach} GS/s ({pc})", flush=True)
+
+    with open(JSON_PATH, "w") as fh:
+        json.dump({"device": device, "peaks": peaks,
+                   "configs": results}, fh, indent=1)
+    write_md(device, peaks, results)
+    print(f"wrote {JSON_PATH} and {MD_PATH}", flush=True)
+    return 0
+
+
+def write_md(device, peaks, results):
+    lines = [
+        "# Roofline — static op counts vs measured machine peaks",
+        "",
+        f"Device: `{device}`.  Regenerate: `python benches/roofline.py`.",
+        "",
+        "Peaks are micro-probed in the same currency as the static",
+        "counter (`idsp_tpu/roofline.py`): lane-ops/s per category",
+        "(an FMA counts as 2 lane-ops), MXU FLOPs/s, HBM bytes/s.",
+        "The speed-of-light rate charges each category at its peak",
+        "(VPU categories serialize; MXU/HBM overlap), so achieved-% is",
+        "a true utilization bound, not a vibe.",
+        "",
+        "## Machine peaks",
+        "",
+        "| unit | peak |",
+        "|---|---|",
+    ]
+    for k in ("f32", "i32", "i32_mul", "i64", "i64_mul", "cmp",
+              "select", "convert", "div", "trans"):
+        if k in peaks:
+            lines.append(f"| {k} lane-ops | {peaks[k]/1e12:.3f} Top/s |")
+    if "mxu" in peaks:
+        lines.append(f"| MXU bf16 | {peaks['mxu']/1e12:.1f} TFLOP/s |")
+    if "mxu_f32" in peaks:
+        lines.append(
+            f"| MXU f32 | {peaks['mxu_f32']/1e12:.1f} TFLOP/s |")
+    if "hbm" in peaks:
+        lines.append(f"| HBM | {peaks['hbm']/1e9:.0f} GB/s |")
+    lines += [
+        "",
+        "## Flagship kernels",
+        "",
+        "ops/S = per full-rate input sample x channel.",
+        "",
+        "| config | VPU ops/S | MXU F/S | IO B/S | bound |"
+        " limit GS/s | achieved GS/s | % of peak |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        ach = ("—" if r["achieved_gs"] is None
+               else f"{r['achieved_gs']:.2f}")
+        pct = ("—" if r["pct_of_peak"] is None
+               else f"{r['pct_of_peak']:.0f}%")
+        lines.append(
+            f"| {r['name']} | {r['vpu_ops_per_sample']:.1f} "
+            f"| {r['mxu_flops_per_sample']:.0f} "
+            f"| {r['io_bytes_per_sample']:.1f} | {r['bound']} "
+            f"| {r['limit_gs']:.2f} | {ach} | {pct} |")
+    lines += [
+        "",
+        "Per-category ops/S detail lives in `ROOFLINE.json`.",
+        "",
+    ]
+    with open(MD_PATH, "w") as fh:
+        fh.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

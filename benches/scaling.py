@@ -278,25 +278,28 @@ def main(argv=None):
         from jax import shard_map as _shard_map
         from idsp_tpu.parallel.pipeline import pipelined_sos_cascade_sharded
 
+        # cyclic block sharding (block b on device b mod S) — the
+        # state-rotating schedule's layout; see pipeline.py.
+        xc = xb.reshape((nb // nd, nd, tb, cpd))
         fn = jax.jit(
             _shard_map(
                 lambda ba, x: pipelined_sos_cascade_sharded(
-                    ba, x, nb, 29, "pp"
-                ),
+                    ba, x[:, 0], nb, 29, "pp"
+                )[:, None],
                 mesh=mesh,
-                in_specs=(P(), P("pp")),
-                out_specs=P("pp"),
+                in_specs=(P(), P(None, "pp")),
+                out_specs=P(None, "pp"),
             )
         )
-        compiled = fn.lower(bas, xb).compile()
+        compiled = fn.lower(bas, xc).compile()
         coll = _collective_bytes(compiled.as_text())
-        out = fn(bas, xb)
+        out = fn(bas, xc)
         sync(out)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                ys = fn(bas, xb)
+                ys = fn(bas, xc)
             sync(ys)
             best = min(best, time.perf_counter() - t0)
         rate = nb * tb * cpd * args.iters / best

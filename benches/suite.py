@@ -681,12 +681,24 @@ def main(argv=None):
         ba_fm_np = np.asarray(ba_fm)
         run_trials(
             "fm receiver bank (one kernel)",
-            # swept optimum tc=1024 (scripts/tpu_fm_probe.py); the
-            # composed path above is still faster single-chip — see
-            # fm_pallas.fm_disc_bank docstring
+            # requests tc=1024; _pick_time_chunk VMEM-clamps (at c=512
+            # the effective chunk is 512 — scripts/tpu_fm_probe.py).
+            # The composed path above is faster single-chip for the
+            # bit-exact angle: in-kernel atan2_i32 costs ~736 lane-
+            # ops/sample vs the XLA path's ~320 (benches/ROOFLINE.json)
             lambda st, re, im: fm_disc_bank(
-                ba_fm_np, st, re, im, 12345,
-                time_chunk=min(1024, t),
+                ba_fm_np, st, re, im, 12345, time_chunk=1024,
+            ),
+            fm_disc.init_state((c,)), re_fm, im_fm,
+        )
+        run_trials(
+            "fm receiver bank (1 kernel, fast atan)",
+            # SNR-gated f32 discriminator (angle="fast"): ~30 lane-
+            # ops/sample for disc+angle; passes the reference FM gates
+            # (tests/test_structures_pallas.py)
+            lambda st, re, im: fm_disc_bank(
+                ba_fm_np, st, re, im, 12345, time_chunk=1024,
+                angle="fast",
             ),
             fm_disc.init_state((c,)), re_fm, im_fm,
         )
@@ -839,6 +851,37 @@ def main(argv=None):
             lambda st, x: chz.channelize(st, x, m=m_ch, taps=8, dft="fft")
         ),
         chz.init(m_ch, 8), x_fr, samples=n_fr * m_ch,
+    )
+    # plane-layout production path: m on lanes, frames on sublanes (the
+    # trailing (m, 2) layout above pads 64x on TPU tiles).  1024 frames
+    # per dispatch: the on-device sweep (scripts/tpu_channelizer_probe
+    # .py, 2026-08-19) shows a fixed ~100 us dispatch floor that
+    # dominates below ~1M samples/dispatch — n=256 measures the floor
+    # (1.7 GS/s), n=1024 the pipeline (8.8 GS/s).
+    n_pl = max(1024, t // m_ch)
+    zr_pl = jnp.asarray(rng.normal(size=(n_pl, m_ch)).astype(np.float32))
+    zi_pl = jnp.asarray(rng.normal(size=(n_pl, m_ch)).astype(np.float32))
+
+    def _chz_planes(st, zr, zi, **kw):
+        return chz.channelize_planes(st, zr, zi, m=m_ch, taps=8, **kw)
+
+    run_trials(
+        "channelizer m=1024 (planes, mxu)",
+        jax.jit(_chz_planes), chz.init_planes(m_ch, 8), zr_pl, zi_pl,
+        samples=n_pl * m_ch,
+    )
+    run_trials(
+        "channelizer m=1024 (planes, bf16)",
+        jax.jit(lambda st, a, b: _chz_planes(
+            st, a, b, twiddle_dtype=jnp.bfloat16)),
+        chz.init_planes(m_ch, 8), zr_pl, zi_pl,
+        samples=n_pl * m_ch,
+    )
+    run_trials(
+        "channelizer m=1024 (planes, fft)",
+        jax.jit(lambda st, a, b: _chz_planes(st, a, b, dft="fft")),
+        chz.init_planes(m_ch, 8), zr_pl, zi_pl,
+        samples=n_pl * m_ch,
     )
 
     # ---- 1024-channel DDC bank with per-channel PLL (BASELINE #5) ----
@@ -1009,6 +1052,8 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "ddc lockin bank (one kernel)":
             "ddc_lockin.rs example (fused factored-LO kernel)",
         "fm receiver bank": "fm_disc.rs example",
+        "fm receiver bank (1 kernel, fast atan)":
+            "same (SNR-gated f32 discriminator)",
         "fm receiver bank (one kernel)":
             "fm_disc.rs example (fused disc+atan2+DF1 kernel; "
             "compute-bound on full-rate in-kernel atan2 — composed "
@@ -1028,6 +1073,11 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "channelizer m=1024 (mxu dft)":
             "polyphase_channelizer.rs scaled to M=1024",
         "channelizer m=1024 (fft)": "same (O(M log M) DFT)",
+        "channelizer m=1024 (planes, mxu)":
+            "same (plane layout: m on lanes — production path)",
+        "channelizer m=1024 (planes, bf16)":
+            "same (bf16 twiddles, >=10x gate holds)",
+        "channelizer m=1024 (planes, fft)": "same (plane layout, fft)",
         "ddc bank 1024ch (lowpass2+pll)": "BASELINE #5 wideband bank",
         "ddc bank 1024ch (biquad+pll)": "BASELINE #5 (biquad variant)",
         "ddc bank 1024ch (biquad+pll, fastlo)":

@@ -31,7 +31,7 @@ import jax
 # TPU with 32-bit pairs; hot kernels avoid i64 where the reference does.
 jax.config.update("jax_enable_x64", True)
 
-from . import fxp, luts, testing  # noqa: E402
+from . import fxp, luts, masked, testing  # noqa: E402
 from .ops import (  # noqa: E402
     accu,
     complex as complex_ops,
@@ -56,6 +56,7 @@ __all__ = [
     "fastlo",
     "fxp",
     "luts",
+    "masked",
     "sweptsine",
     "testing",
     "trig",

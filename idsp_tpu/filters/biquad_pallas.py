@@ -377,7 +377,7 @@ def _pick_time_chunk(t: int, cap: int, unroll: int, dec: int,
 
 
 def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
-               out_dtype=None, donate=True):
+               out_dtype=None, donate=True, vma=None):
     """Run a sequential time-loop bank kernel.
 
     Kernel signature: ``(extra_refs..., st_in_ref, x_ref, y_ref,
@@ -440,8 +440,10 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
         in_specs=[fixed(e.shape[0]) for e in extra_in] + [fixed(rows), walk],
         out_specs=[walk_out, fixed(rows)],
         out_shape=[
-            jax.ShapeDtypeStruct((t // dec, cs, 128), out_dtype),
-            jax.ShapeDtypeStruct((rows, cs, 128), st_in.dtype),
+            # vma: declared (halo_rdma.py pattern) so compiled shard_map
+            # callers can keep the replication checker enabled.
+            jax.ShapeDtypeStruct((t // dec, cs, 128), out_dtype, vma=vma),
+            jax.ShapeDtypeStruct((rows, cs, 128), st_in.dtype, vma=vma),
         ],
         scratch_shapes=scratch,
         input_output_aliases=aliases,

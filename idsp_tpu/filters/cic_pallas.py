@@ -54,9 +54,11 @@ def _unpack_integ(st_out, c):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate", "n", "time_chunk", "unroll", "interpret"),
+    static_argnames=("rate", "n", "time_chunk", "unroll", "interpret",
+                     "vma"),
 )
-def _cic_dec_impl(state, x, rate, n, *, time_chunk, unroll, interpret):
+def _cic_dec_impl(state, x, rate, n, *, time_chunk, unroll, interpret,
+                  vma=None):
     r = rate + 1
     t, c = x.shape
     cs = c // 128
@@ -64,7 +66,7 @@ def _cic_dec_impl(state, x, rate, n, *, time_chunk, unroll, interpret):
     sampled, st_out = _bank_call(
         _seq_bank_kernel(_integ_body(n), unroll=unroll, dec=r),
         st_in, x.reshape(t, cs, 128),
-        time_chunk=time_chunk, interpret=interpret,
+        time_chunk=time_chunk, interpret=interpret, vma=vma,
     )
     sampled = sampled.reshape(t // r, c)
     new_combs, y = _comb_chain(state.combs, sampled, axis=0)
@@ -79,7 +81,7 @@ def _cic_dec_impl(state, x, rate, n, *, time_chunk, unroll, interpret):
 
 
 def cic_dec_bank(state: CicState, x, rate: int, *, time_chunk: int = 512,
-                 unroll: int = 4, interpret: bool = False):
+                 unroll: int = 4, interpret: bool = False, vma=None):
     """Decimate a time-major (t, c) i32 block by R = rate+1.
 
     Drop-in kernel replacement for `cic.decimate_block(state, x, rate,
@@ -94,14 +96,17 @@ def cic_dec_bank(state: CicState, x, rate: int, *, time_chunk: int = 512,
     n = int(state.integrators.shape[-1])
     assert n > 0, "kernel path needs at least one integrator stage"
     return _cic_dec_impl(state, x, rate, n, time_chunk=time_chunk,
-                         unroll=unroll, interpret=interpret)
+                         unroll=unroll, interpret=interpret,
+                         vma=None if vma is None else frozenset(vma))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate", "n", "time_chunk", "unroll", "interpret"),
+    static_argnames=("rate", "n", "time_chunk", "unroll", "interpret",
+                     "vma"),
 )
-def _cic_int_impl(state, x, rate, n, *, time_chunk, unroll, interpret):
+def _cic_int_impl(state, x, rate, n, *, time_chunk, unroll, interpret,
+                  vma=None):
     r = rate + 1
     t, c = x.shape
     cs = c // 128
@@ -111,7 +116,7 @@ def _cic_int_impl(state, x, rate, n, *, time_chunk, unroll, interpret):
     y, st_out = _bank_call(
         _seq_bank_kernel(_integ_body(n), unroll=unroll),
         st_in, zoh.reshape(t * r, cs, 128),
-        time_chunk=time_chunk, interpret=interpret,
+        time_chunk=time_chunk, interpret=interpret, vma=vma,
     )
     return (
         CicState(
@@ -124,7 +129,7 @@ def _cic_int_impl(state, x, rate, n, *, time_chunk, unroll, interpret):
 
 
 def cic_int_bank(state: CicState, x, rate: int, *, time_chunk: int = 512,
-                 unroll: int = 4, interpret: bool = False):
+                 unroll: int = 4, interpret: bool = False, vma=None):
     """Interpolate a time-major (t, c) i32 block by R = rate+1.
 
     Drop-in kernel replacement for `cic.interpolate_block(state, x,
@@ -137,4 +142,5 @@ def cic_int_bank(state: CicState, x, rate: int, *, time_chunk: int = 512,
     n = int(state.integrators.shape[-1])
     assert n > 0, "kernel path needs at least one integrator stage"
     return _cic_int_impl(state, x, rate, n, time_chunk=time_chunk,
-                         unroll=unroll, interpret=interpret)
+                         unroll=unroll, interpret=interpret,
+                         vma=None if vma is None else frozenset(vma))

@@ -32,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -396,6 +397,48 @@ def atan2_i32(y, x):
     return (r ^ k).astype(jnp.int32)
 
 
+# deg-13 odd minimax-style fit of atan on [0, 1] (Chebyshev-node LSQ;
+# max error 2.7e-7 rad exact, 3.4e-7 rad in f32 Horner — 7x inside the
+# reference's own atan2 bound of 2.3e-6 rad, src/atan2.rs:150-152).
+_ATAN_F32_COEFFS = (
+    0.9999966346012426, -0.33318302540856615, 0.19813210086072103,
+    -0.13247509251117956, 0.0798109508479018, -0.03372571225910291,
+    0.006842548554979471,
+)
+
+
+def atan2_f32_word(y, x):
+    """Full-circle atan2 of f32 inputs, returned as the i32 phase word
+    (i32::MIN = -pi), kernel-traceable.
+
+    The FAST angle path (SNR-gated, like ops/fastlo.py): ~20 f32
+    lane-ops + one divide per element, vs the ~700 emulated-limb i32
+    ops of the bit-exact `atan2_i32`.  Max error vs the ideal angle is
+    3.4e-7 rad (poly) + input rounding; worst case ~240 LSB of the i32
+    word — use where the documented reference error bounds (not bit
+    equality) are the acceptance gate.
+    """
+    f32 = jnp.float32
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    den = jnp.maximum(ax, ay)
+    num = jnp.minimum(ax, ay)
+    q = num / jnp.maximum(den, f32(1e-38))
+    q2 = q * q
+    p = f32(_ATAN_F32_COEFFS[-1])
+    for cc in _ATAN_F32_COEFFS[-2::-1]:
+        p = p * q2 + f32(cc)
+    t = p * q
+    t = jnp.where(ay > ax, f32(np.pi / 2) - t, t)
+    t = jnp.where(x < 0, f32(np.pi) - t, t)
+    t = jnp.where(y < 0, -t, t)
+    w = t * f32(2147483648.0 / np.pi)
+    # round-half-away (astype truncates toward zero), saturating at +pi
+    w = w + jnp.where(w >= 0, f32(0.5), f32(-0.5))
+    w = jnp.minimum(w, f32(2147483520.0))  # largest f32 below 2^31
+    return w.astype(jnp.int32)
+
+
 def _x_rows_from_lanes(xl, tc: int):
     """(1, tc//128, 128) row-major packed x block -> (tc, 128) with
     every lane of row i holding x[i], via per-group 128x128 broadcast +
@@ -466,7 +509,7 @@ def _fir_even(odd_s, even_s, ln, nn, taps):
 
 def _run_fused_cascade(body, taps_static, state, tails, xs, *,
                        time_chunk, unroll, interpret, fastlo_in=None,
-                       x_layout="replicate"):
+                       x_layout="replicate", vma=None):
     """Composer: sequential IIR bank + fused half-band cascade.
 
     Args:
@@ -648,9 +691,14 @@ def _run_fused_cascade(body, taps_static, state, tails, xs, *,
             + [fixed(4)] + [fixed(nt) for nt in nts]
         ),
         out_shape=(
-            [jax.ShapeDtypeStruct((t // r, cs2, 128), jnp.float32)]
-            + [jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32)]
-            + [jax.ShapeDtypeStruct((nt, cs2, 128), jnp.float32)
+            # vma: under shard_map every output varies over the sharded
+            # channel axis; declaring it here (halo_rdma.py pattern)
+            # keeps the replication checker usable in compiled mode.
+            [jax.ShapeDtypeStruct((t // r, cs2, 128), jnp.float32,
+                                  vma=vma)]
+            + [jax.ShapeDtypeStruct((4, cs2, 128), jnp.int32, vma=vma)]
+            + [jax.ShapeDtypeStruct((nt, cs2, 128), jnp.float32,
+                                    vma=vma)
                for nt in nts]
         ),
         scratch_shapes=(
@@ -732,7 +780,7 @@ def df1_hbf12_bank(ba, state: Df1State, tail1, tail2, xs, f: int = 29, *,
 def df1_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29, *,
                          taps=None, depth: int = None,
                          time_chunk: int = 128, unroll: int = 4,
-                         interpret: bool = False):
+                         interpret: bool = False, vma=None):
     """Fused Q32 DF1 biquad bank + 2**depth half-band decimation, all
     inside ONE Pallas kernel: the sequential biquad loop parity-splits
     its output rows, then each cascade stage runs vectorized over the
@@ -756,19 +804,21 @@ def df1_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29, *,
     return _df1_hbf_cascade_impl(
         _ba_static(ba), _taps_static(taps), state, tuple(tails), xs, f,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+        vma=None if vma is None else frozenset(vma),
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("ba_static", "taps_static", "f", "time_chunk",
-                     "unroll", "interpret"),
+                     "unroll", "interpret", "vma"),
 )
 def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
-                          time_chunk, unroll, interpret):
+                          time_chunk, unroll, interpret, vma=None):
     return _run_fused_cascade(
         _iir_df1_body(ba_static, f), taps_static, state, tails, xs,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
+        vma=vma,
     )
 
 

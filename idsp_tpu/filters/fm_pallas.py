@@ -37,7 +37,7 @@ from .biquad_pallas import (
     _shr_i64_to_i32,
     _sub_i64,
 )
-from .ddc_pallas import atan2_i32
+from .ddc_pallas import atan2_f32_word, atan2_i32
 
 
 def _disc_rows(a_re, a_im, b_re, b_im, carrier: int):
@@ -57,19 +57,47 @@ def _disc_rows(a_re, a_im, b_re, b_im, carrier: int):
     return atan2_i32(z_im, z_re) - jnp.int32(carrier)
 
 
+def _disc_rows_fast(a_re, a_im, b_re, b_im, carrier: int):
+    """f32 discriminator (the ``angle="fast"`` path): the conjugate
+    product and the angle run in f32 — ~30 lane-ops/sample instead of
+    the ~700 emulated-limb ops of the bit-exact path.
+
+    Error vs the exact discriminator: f32 product rounding (2^-24
+    relative on each term) + 3.4e-7 rad polynomial — worst case a few
+    hundred LSB of the i32 phase word, far inside the reference FM
+    example's acceptance gates (corr > 0.999, rms < 5e-4,
+    fm_disc.rs:151-157).  The deemphasis biquad downstream stays
+    bit-exact integer.
+    """
+    f32 = jnp.float32
+    ar = a_re.astype(f32)
+    ai = a_im.astype(f32)
+    br = b_re.astype(f32)
+    bi = b_im.astype(f32)
+    z_re = ar * br + ai * bi
+    z_im = ai * br - ar * bi
+    return atan2_f32_word(z_im, z_re) - jnp.int32(carrier)
+
+
 def fm_disc_bank(ba, state, re, im, carrier: int, f: int = 30, *,
                  time_chunk: int = 1024, unroll: int = 4,
-                 trig_sub: int = 8, interpret: bool = False):
+                 trig_sub: int = 8, angle: str = "exact",
+                 interpret: bool = False):
     """The whole FM receiver in ONE kernel over a channel bank.
 
-    Note (on-device sweep, scripts/tpu_fm_probe.py, 2026-08-18): the
-    composed XLA path (`fm_disc.fm_receiver`) is FASTER on a single
-    chip (~7.7 vs ~5.3 GS/s at the best kernel config, tc=1024) — the
-    discriminator's atan2 runs at full rate, and the in-kernel
-    select/limb chain costs ~1.5x XLA's fused elementwise version
-    while the fusion only saves ~4 B/sample of HBM traffic.  Use the
-    kernel when HBM pressure (not compute) dominates; defaults encode
-    the swept optimum.
+    Note (on-device sweep, scripts/tpu_fm_probe.py, 2026-08-18; op
+    accounting benches/ROOFLINE.json, 2026-08-19): with the default
+    bit-exact angle the composed XLA path (`fm_disc.fm_receiver`) is
+    FASTER on a single chip (~7.6 vs ~3.5 GS/s) — the in-kernel
+    `atan2_i32` limb/select chain costs ~736 lane-ops/sample vs the
+    XLA graph's ~320 (i64-weighted), and both run at ~their VPU
+    roofline, so the fusion's ~8 B/sample HBM saving cannot close a
+    2.3x compute gap.  ``angle="fast"`` replaces the discriminator
+    with the f32 conjugate product + `atan2_f32_word` (~30 lane-
+    ops/sample, SNR-gated like ops/fastlo.py, passes the reference FM
+    gates) — that configuration beats the composed exact path.
+    ``time_chunk`` REQUESTS 1024; `_pick_time_chunk` VMEM-clamps (at
+    c=512 the effective chunk is 512).
 
     Args:
       ba: (5,) i32 Q32<f> deemphasis coefficients (static).
@@ -99,7 +127,7 @@ def fm_disc_bank(ba, state, re, im, carrier: int, f: int = 30, *,
     st_out, ys = _fm_disc_bank_impl(
         ba_static, int(carrier), f, st_in, re, im,
         time_chunk=time_chunk, unroll=unroll, trig_sub=trig_sub,
-        interpret=interpret,
+        angle=angle, interpret=interpret,
     )
     from ..pipelines.fm_disc import FmDiscState
 
@@ -118,10 +146,12 @@ def fm_disc_bank(ba, state, re, im, carrier: int, f: int = 30, *,
 @functools.partial(
     jax.jit,
     static_argnames=("ba_static", "carrier", "f", "time_chunk", "unroll",
-                     "trig_sub", "interpret"),
+                     "trig_sub", "angle", "interpret"),
 )
 def _fm_disc_bank_impl(ba_static, carrier, f, st_in, re, im, *,
-                       time_chunk, unroll, trig_sub, interpret):
+                       time_chunk, unroll, trig_sub, angle="exact",
+                       interpret):
+    disc = _disc_rows if angle == "exact" else _disc_rows_fast
     t, c = re.shape
     assert c % 128 == 0
     cs = c // 128
@@ -163,7 +193,7 @@ def _fm_disc_bank_impl(ba_static, carrier, f, st_in, re, im, *,
             else:
                 b_re = xr[s0 - 1:s0 + trig_sub - 1]
                 b_im = xi[s0 - 1:s0 + trig_sub - 1]
-            dphi = _disc_rows(a_re, a_im, b_re, b_im, carrier)
+            dphi = disc(a_re, a_im, b_re, b_im, carrier)
             if s0 == 0:
                 # row 0's "previous sample" comes from the carry; mask
                 # it out until the stream's first sample has passed

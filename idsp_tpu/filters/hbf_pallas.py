@@ -50,7 +50,7 @@ def _taps_key(states, taps):
 
 
 def hbf_dec_cascade_bank(states, xs, *, taps=None, time_chunk: int = 512,
-                         interpret: bool = False):
+                         interpret: bool = False, vma=None):
     """Decimate-by-2**depth half-band cascade in one Pallas kernel.
 
     Args:
@@ -74,6 +74,7 @@ def hbf_dec_cascade_bank(states, xs, *, taps=None, time_chunk: int = 512,
     new_tails, y = _hbf_dec_cascade_impl(
         _taps_key(states, stage_taps), tails, xs,
         time_chunk=time_chunk, interpret=interpret,
+        vma=None if vma is None else frozenset(vma),
     )
     outs = []
     for tl, tv in zip(new_tails, stage_taps):
@@ -83,9 +84,9 @@ def hbf_dec_cascade_bank(states, xs, *, taps=None, time_chunk: int = 512,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("time_chunk", "interpret"))
+                   static_argnames=("time_chunk", "interpret", "vma"))
 def _hbf_dec_cascade_impl(taps_static, tails, xs, *, time_chunk,
-                          interpret):
+                          interpret, vma=None):
     depth = len(taps_static)
     r = 1 << depth
     t, c2 = xs.shape
@@ -176,8 +177,11 @@ def _hbf_dec_cascade_impl(taps_static, tails, xs, *, time_chunk,
         in_specs=[fixed(nt) for nt in nts] + [walk_in],
         out_specs=[walk_out] + [fixed(nt) for nt in nts],
         out_shape=(
-            [jax.ShapeDtypeStruct((t // r, cs, 128), jnp.float32)]
-            + [jax.ShapeDtypeStruct((nt, cs, 128), jnp.float32)
+            # vma: declared per the halo_rdma.py pattern so compiled
+            # shard_map callers can keep the replication checker on.
+            [jax.ShapeDtypeStruct((t // r, cs, 128), jnp.float32,
+                                  vma=vma)]
+            + [jax.ShapeDtypeStruct((nt, cs, 128), jnp.float32, vma=vma)
                for nt in nts]
         ),
         scratch_shapes=(
@@ -204,7 +208,7 @@ def _hbf_dec_cascade_impl(taps_static, tails, xs, *, time_chunk,
 
 
 def hbf_int_cascade_bank(states, xs, *, taps=None, time_chunk: int = 128,
-                         interpret: bool = False):
+                         interpret: bool = False, vma=None):
     """Interpolate-by-2**depth half-band cascade in one Pallas kernel.
 
     Args:
@@ -228,14 +232,15 @@ def hbf_int_cascade_bank(states, xs, *, taps=None, time_chunk: int = 128,
     new_tails, y = _hbf_int_cascade_impl(
         _taps_key(states, stage_taps), tails, xs,
         time_chunk=time_chunk, interpret=interpret,
+        vma=None if vma is None else frozenset(vma),
     )
     return tuple(HbfIntState(x=tl) for tl in new_tails), y
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("time_chunk", "interpret"))
+                   static_argnames=("time_chunk", "interpret", "vma"))
 def _hbf_int_cascade_impl(taps_static, tails, xs, *, time_chunk,
-                          interpret):
+                          interpret, vma=None):
     depth = len(taps_static)
     r = 1 << depth
     t, c2 = xs.shape
@@ -330,8 +335,10 @@ def _hbf_int_cascade_impl(taps_static, tails, xs, *, time_chunk,
         in_specs=[fixed(ln) for ln in lns] + [walk_in],
         out_specs=[walk_out] + [fixed(ln) for ln in lns],
         out_shape=(
-            [jax.ShapeDtypeStruct((t * r, cs, 128), jnp.float32)]
-            + [jax.ShapeDtypeStruct((ln, cs, 128), jnp.float32)
+            # vma: see hbf_dec_cascade_bank.
+            [jax.ShapeDtypeStruct((t * r, cs, 128), jnp.float32,
+                                  vma=vma)]
+            + [jax.ShapeDtypeStruct((ln, cs, 128), jnp.float32, vma=vma)
                for ln in lns]
         ),
         scratch_shapes=(

@@ -76,11 +76,15 @@ def step(cfg: RpllConfig, state: RpllState, x, valid):
     dy = (y_ref - y) >> (cfg.shift_phase - cfg.dt2)
     f2 = ff2 + dy.astype(jnp.uint32)
 
-    new_state = RpllState(
-        x=jnp.where(valid, x, state.x),
-        ff=jnp.where(valid, ff2, state.ff),
-        f=jnp.where(valid, f2, state.f),
-        y=y,
+    # the timestamp branch is a masked state advance — the general
+    # Option-stream primitive (idsp_tpu.masked.masked_update); the
+    # phase accumulator y advances every cycle regardless.
+    from ..masked import masked_update
+
+    new_state = masked_update(
+        valid,
+        RpllState(x=x, ff=ff2, f=f2, y=y),
+        RpllState(x=state.x, ff=state.ff, f=state.f, y=y),
     )
     return new_state, (y, new_state.f.astype(jnp.int32))
 
@@ -93,3 +97,13 @@ def block(cfg: RpllConfig, state: RpllState, xs, valids, *, unroll: int = 4):
         return step(cfg, s, x, v)
 
     return jax.lax.scan(body, state, (xs, valids), unroll=unroll)
+
+
+def block_masked(cfg: RpllConfig, state: RpllState, m, *,
+                 unroll: int = 4):
+    """`block` taking the framework's `masked.Masked` event stream
+    (timestamps where valid) — RPLL's input IS an Option stream
+    (rpll.rs:47: `x: Option<i32>`); this is the typed entry point the
+    masked adapters (`masked.downsample`, edge detectors, ...)
+    compose with."""
+    return block(cfg, state, m.value, m.valid, unroll=unroll)

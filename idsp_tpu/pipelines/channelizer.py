@@ -54,6 +54,92 @@ def _dft_matrix(m: int) -> np.ndarray:
     return w.astype(np.complex64)
 
 
+class PlanesState(NamedTuple):
+    """Polyphase FIR history as separate I/Q planes: (..., taps-1, m)
+    each — the TPU-native layout (a trailing (m, 2) axis pair tiles the
+    2 onto the 128-lane axis and pads 64x, see CLAUDE.md; planes put m
+    on lanes and frames on sublanes)."""
+
+    hist_r: jax.Array
+    hist_i: jax.Array
+
+
+def init_planes(m: int = 4, taps: int = 8, shape=(),
+                dtype=jnp.float32) -> PlanesState:
+    z = jnp.zeros(shape + (taps - 1, m), dtype)
+    return PlanesState(hist_r=z, hist_i=z)
+
+
+def channelize_planes(state: PlanesState, zr, zi, proto=None, *,
+                      m: int = 4, taps: int = 8, dft: str = "matmul",
+                      twiddle_dtype=jnp.float32):
+    """Plane-layout analysis bank: the production path for large M.
+
+    Args:
+      zr, zi: (..., n, m) I/Q planes of the frame stream (m polyphase
+        branches on the lane axis).
+      dft: "matmul" (four real (n,m)x(m,m) MXU matmuls) or "fft".
+      twiddle_dtype: DFT matrix storage for the matmul path.  f32 is
+        exact-summation; bf16 halves MXU time at ~2^-8 relative
+        twiddle rounding — fine for the reference's >=10x bin-power
+        gate (polyphase_channelizer.rs:166-178), opt-in for quality
+        reasons.
+
+    Returns (state, yr, yi) with y planes shaped like the inputs.
+    The math matches `channelize` exactly (same FIR order, same
+    einsum contractions) — only the memory layout differs.
+    """
+    if proto is None:
+        proto = prototype(m, taps)
+    coeff = np.asarray(proto, np.float32).reshape(taps, m)
+    n = zr.shape[-2]
+
+    extr = jnp.concatenate([state.hist_r, zr], axis=-2)
+    exti = jnp.concatenate([state.hist_i, zi], axis=-2)
+    accr = accti = None
+    # y[t] = sum_tap coeff[tap] * frame[t - tap]; tap 0 = newest frame.
+    for tap in range(taps):
+        cr = jnp.asarray(coeff[tap])
+        slr = jax.lax.slice_in_dim(
+            extr, taps - 1 - tap, taps - 1 - tap + n, axis=-2)
+        sli = jax.lax.slice_in_dim(
+            exti, taps - 1 - tap, taps - 1 - tap + n, axis=-2)
+        tr, ti = slr * cr, sli * cr
+        accr = tr if accr is None else accr + tr
+        accti = ti if accti is None else accti + ti
+    new_state = PlanesState(
+        hist_r=jax.lax.slice_in_dim(extr, n, taps - 1 + n, axis=-2),
+        hist_i=jax.lax.slice_in_dim(exti, n, taps - 1 + n, axis=-2),
+    )
+
+    if dft == "fft":
+        z = accr + 1j * accti
+        zf = jnp.fft.fft(z.astype(jnp.complex64), axis=-1)
+        return (new_state, zf.real.astype(jnp.float32),
+                zf.imag.astype(jnp.float32))
+
+    # DFT across the channel axis: y[m] = sum_k x[k] e^{-2pi i k m / M},
+    # as four REAL (n, m) x (m, m) matmuls — the MXU-native form (the
+    # explicit planes fuse with the real-plane FIR dataflow and match
+    # the tensor-parallel path `channelize_tp` exactly).
+    w = _dft_matrix(m)
+    tw = jnp.dtype(twiddle_dtype)
+    wr = jnp.asarray(np.real(w).astype(np.float32)).astype(tw)
+    wi = jnp.asarray(np.imag(w).astype(np.float32)).astype(tw)
+    pet = jnp.float32
+    ar = accr.astype(tw)
+    ai = accti.astype(tw)
+    yr = (
+        jnp.einsum("...k,km->...m", ar, wr, preferred_element_type=pet)
+        - jnp.einsum("...k,km->...m", ai, wi, preferred_element_type=pet)
+    )
+    yi = (
+        jnp.einsum("...k,km->...m", ar, wi, preferred_element_type=pet)
+        + jnp.einsum("...k,km->...m", ai, wr, preferred_element_type=pet)
+    )
+    return new_state, yr, yi
+
+
 def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8,
                dft: str = "matmul"):
     """Process (..., n_frames, m, 2) input frames (polyphase FIR + DFT).
@@ -62,50 +148,20 @@ def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8,
     (polyphase_channelizer.rs:103-119).  Returns (state, y) with y of
     the same shape: per frame, M channel IQ pairs.
 
+    Internally this splits into I/Q planes at the boundary and runs
+    `channelize_planes` (the trailing (m, 2) layout tiles the 2 onto
+    the 128-lane axis — 64x pad); the stack/split costs one transpose
+    pair, so large-M callers should feed planes directly.
+
     ``dft``: "matmul" (real-plane MXU matmuls — exact control of
     summation order, matches `channelize_tp`) or "fft" (jnp.fft along
-    the branch axis — O(M log M), the right choice for large M; same
-    negative-exponent convention, differs from matmul only by f32
-    summation order).
+    the branch axis — O(M log M); same negative-exponent convention,
+    differs from matmul only by f32 summation order).
     """
-    if proto is None:
-        proto = prototype(m, taps)
-    coeff = np.asarray(proto, np.float32).reshape(taps, m)  # [tap][phase]
-    n = x.shape[-3]
-
-    ext = jnp.concatenate([state.hist, x], axis=-3)  # (..., taps-1+n, m, 2)
-    acc = None
-    # y[t] = sum_tap coeff[tap] * frame[t - tap]; tap 0 = newest frame.
-    for tap in range(taps):
-        sl = jax.lax.slice_in_dim(ext, taps - 1 - tap, taps - 1 - tap + n, axis=-3)
-        term = sl * coeff[tap][:, None]
-        acc = term if acc is None else acc + term
-    new_hist = jax.lax.slice_in_dim(ext, n, taps - 1 + n, axis=-3)
-
-    if dft == "fft":
-        z = acc[..., 0] + 1j * acc[..., 1]
-        zf = jnp.fft.fft(z.astype(jnp.complex64), axis=-1)
-        y = jnp.stack([zf.real, zf.imag], axis=-1).astype(jnp.float32)
-        return BankState(hist=new_hist), y
-
-    # DFT across the channel axis: y[m] = sum_k x[k] e^{-2pi i k m / M},
-    # as four REAL (n, m) x (m, m) matmuls — the MXU-native form (XLA's
-    # complex dot lowers to the same decomposition but the explicit
-    # planes fuse better with the surrounding real-plane dataflow and
-    # match the tensor-parallel path `channelize_tp` exactly).
-    w = _dft_matrix(m)
-    wr = jnp.asarray(np.real(w).astype(np.float32))
-    wi = jnp.asarray(np.imag(w).astype(np.float32))
-    zr, zi = acc[..., 0], acc[..., 1]  # (..., n, m) real planes
-    pet = jnp.float32
-    yr = (
-        jnp.einsum("...k,km->...m", zr, wr, preferred_element_type=pet)
-        - jnp.einsum("...k,km->...m", zi, wi, preferred_element_type=pet)
-    )
-    yi = (
-        jnp.einsum("...k,km->...m", zr, wi, preferred_element_type=pet)
-        + jnp.einsum("...k,km->...m", zi, wr, preferred_element_type=pet)
-    )
+    pst = PlanesState(hist_r=state.hist[..., 0], hist_i=state.hist[..., 1])
+    pst, yr, yi = channelize_planes(
+        pst, x[..., 0], x[..., 1], proto, m=m, taps=taps, dft=dft)
+    new_hist = jnp.stack([pst.hist_r, pst.hist_i], axis=-1)
     y = jnp.stack([yr, yi], axis=-1)
     return BankState(hist=new_hist), y
 
@@ -182,6 +238,15 @@ def frames_from_stream(x_iq, m: int):
     t = x_iq.shape[-2]
     assert t % m == 0
     return x_iq.reshape(*x_iq.shape[:-2], t // m, m, 2)
+
+
+def planes_from_stream(x_re, x_im, m: int):
+    """(..., n*m) I/Q plane streams -> ((..., n, m), (..., n, m)) frames
+    — the `channelize_planes` input layout (pure reshapes)."""
+    t = x_re.shape[-1]
+    assert t % m == 0
+    shp = x_re.shape[:-1] + (t // m, m)
+    return x_re.reshape(shp), x_im.reshape(shp)
 
 
 def tone(freq: float, n: int):

@@ -135,9 +135,15 @@ def measure_fm(y, m, skip: int):
     return {"corr": corr, "gain": gain, "rms": rms}
 
 
-def run_fm_disc(n: int = 4096):
+def run_fm_disc(n: int = 4096, kernel: str | None = None):
     """Full example run with the reference's constants
-    (fm_disc.rs:126-140)."""
+    (fm_disc.rs:126-140).
+
+    ``kernel``: None = the composed XLA path; "exact" = the one-kernel
+    `fm_pallas.fm_disc_bank` (bit-identical); "fast" = the one-kernel
+    f32-angle path (SNR-gated — must still pass the reference gates).
+    Kernel paths run in interpret mode off-TPU.
+    """
     carrier_u = 0x1934_1234
     deviation = 0x0450_0000
     message_freq = 0.004
@@ -147,8 +153,25 @@ def run_fm_disc(n: int = 4096):
     (re, im), msg = fm_signal(carrier_u, deviation, message_freq, n)
     ba_q = jnp.asarray(deemphasis_coefficients(cutoff))
     carrier_i = np.int32(np.array(carrier_u, dtype=np.uint32).astype(np.int64) - (1 << 32) if carrier_u >= 1 << 31 else carrier_u)
-    st = init_state()
-    _, y_bits = fm_receiver(st, re, im, carrier_i, ba_q)
+    if kernel is None:
+        st = init_state()
+        _, y_bits = fm_receiver(st, re, im, carrier_i, ba_q)
+    else:
+        import jax
+
+        from ..filters.fm_pallas import fm_disc_bank
+
+        interp = jax.default_backend() == "cpu"
+        # the kernel is a channel bank (c % 128 == 0): replicate the
+        # mono example across 128 lanes and read lane 0
+        st = init_state((128,))
+        rep = jnp.broadcast_to(jnp.asarray(re)[:, None], (n, 128))
+        imp = jnp.broadcast_to(jnp.asarray(im)[:, None], (n, 128))
+        _, y2 = fm_disc_bank(
+            np.asarray(ba_q), st, rep, imp, int(carrier_i),
+            angle=kernel, interpret=interp,
+        )
+        y_bits = y2[:, 0]
     y = np.asarray(y_bits, np.float64) * scale
 
     m = np.asarray(

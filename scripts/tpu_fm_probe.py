@@ -69,16 +69,31 @@ def main():
         jax.jit(lambda st, r, i: fm_disc.fm_receiver(
             st, r, i, jnp.int32(12345), ba_j)),
     )
+    from idsp_tpu.filters.biquad_pallas import _pick_time_chunk
+
+    t_len, c_len = 32768, 512  # matches the fixture above
     for tc in (256, 512, 1024):
         for ts in (8, 16, 32, 64, 128):
             if ts > tc:
                 continue
+            # the EFFECTIVE chunk after the VMEM clamp (ADVICE r3:
+            # requested tc can silently alias configs)
+            cap = max(8, (10 * 2**20) // (24 * c_len))
+            eff = _pick_time_chunk(t_len, cap, 4, 1, tc, max(ts, 1))
             bench(
-                f"one kernel tc={tc} trig_sub={ts}",
+                f"one kernel tc={tc}(eff={eff}) trig_sub={ts}",
                 lambda st, r, i, tc=tc, ts=ts: fm_disc_bank(
                     ba, st, r, i, 12345, time_chunk=tc, trig_sub=ts
                 ),
             )
+    for ts in (32, 128, 512):
+        bench(
+            f"one kernel FAST atan tc=1024 trig_sub={ts}",
+            lambda st, r, i, ts=ts: fm_disc_bank(
+                ba, st, r, i, 12345, time_chunk=1024, trig_sub=ts,
+                angle="fast",
+            ),
+        )
 
 
 if __name__ == "__main__":

@@ -315,7 +315,12 @@ def test_channel_sharded_fused_cascade_bitexact():
                 (P(None, "dp"),) * 3,
                 P(None, "dp"),
             ),
-            # pallas_call out_shapes carry no vma annotation
+            # The kernel DECLARES vma on its out_shapes (compiled
+            # shard_map verifies it on-device, tpu_validate_kernels);
+            # JAX 0.9's Pallas INTERPRET mode cannot run under the
+            # checker at all (kernel-body constants replay unvaried:
+            # "Primitive mul requires varying manual axes to match...
+            # as a temporary workaround pass check_vma=False").
             check_vma=False,
         )
     )

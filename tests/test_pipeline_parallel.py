@@ -79,3 +79,41 @@ def test_pipelined_sos_sharded_io_matches_sequential():
     want = np.asarray(y).reshape(nb, tb, c)
 
     np.testing.assert_array_equal(out, want)
+
+
+def test_pipelined_sos_sharded_deep_pipe_one_block_per_device():
+    """S=8 with nb_loc=1: the drain crosses one output owner per step
+    and the segmented feed advances every step — the static-perm
+    edge cases of the point-to-point delivery (VERDICT r3 weak #4)."""
+    s_count = 8
+    mesh = make_mesh({"pp": s_count})
+    rng = np.random.default_rng(2)
+
+    bas = np.stack(
+        [
+            biquad.quantize_ba(
+                biquad.from_cookbook(
+                    Filter().critical_frequency(0.03 + 0.01 * i).lowpass()
+                ),
+                29,
+            )
+            for i in range(s_count)
+        ]
+    )
+    nb, tb, c = s_count, 32, 2
+    x = rng.integers(
+        -(2**24), 2**24, size=(nb, tb, c), dtype=np.int64
+    ).astype(np.int32)
+
+    out = np.asarray(
+        run_pipelined_sos(
+            mesh, jnp.asarray(bas), jnp.asarray(x), 29, shard_io=True
+        )
+    )
+
+    y = jnp.asarray(x.reshape(nb * tb, c))
+    for i in range(s_count):
+        st = biquad.df1_init((c,), jnp.int32)
+        _, y = biquad.df1_process_q(jnp.asarray(bas[i]), 29, st, y)
+    want = np.asarray(y).reshape(nb, tb, c)
+    np.testing.assert_array_equal(out, want)

@@ -73,3 +73,68 @@ def test_channelizer_fft_matches_matmul():
     assert k == 5
     others = np.delete(p, k)
     assert p[k] >= 10.0 * others.max()
+
+
+def test_channelize_planes_matches_frames():
+    # plane layout (TPU-native, m on lanes) == trailing-(m,2) layout
+    # bit-for-bit: same FIR order, same einsum contractions.
+    import jax.numpy as jnp
+
+    m, taps, n = 64, 8, 32
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(n, m, 2)).astype(np.float32))
+    st = channelizer.init(m, taps)
+    st2, y = channelizer.channelize(st, x, m=m, taps=taps)
+
+    pst = channelizer.init_planes(m, taps)
+    pst2, yr, yi = channelizer.channelize_planes(
+        pst, x[..., 0], x[..., 1], m=m, taps=taps
+    )
+    np.testing.assert_array_equal(np.asarray(yr), np.asarray(y[..., 0]))
+    np.testing.assert_array_equal(np.asarray(yi), np.asarray(y[..., 1]))
+    np.testing.assert_array_equal(
+        np.asarray(pst2.hist_r), np.asarray(st2.hist[..., 0])
+    )
+
+
+def test_channelize_planes_streaming_and_bf16_gate():
+    # streamed planes path: two chained blocks == one-shot; bf16
+    # twiddles still pass the reference's >=10x bin-power gate
+    # (polyphase_channelizer.rs:166-178).
+    import jax.numpy as jnp
+
+    m, taps, nfr = 64, 8, 256
+    ch = 11
+    x = channelizer.tone(ch / m, m * nfr)
+    zr, zi = channelizer.planes_from_stream(x[..., 0], x[..., 1], m)
+
+    pst = channelizer.init_planes(m, taps)
+    _, yr1, yi1 = channelizer.channelize_planes(
+        pst, zr[: nfr // 2], zi[: nfr // 2], m=m, taps=taps
+    )
+    pst_b = channelizer.init_planes(m, taps)
+    pst_b, ya_r, ya_i = channelizer.channelize_planes(
+        pst_b, zr[: nfr // 4], zi[: nfr // 4], m=m, taps=taps
+    )
+    _, yb_r, yb_i = channelizer.channelize_planes(
+        pst_b, zr[nfr // 4: nfr // 2], zi[nfr // 4: nfr // 2],
+        m=m, taps=taps,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([ya_r, yb_r], axis=0)),
+        np.asarray(yr1),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([ya_i, yb_i], axis=0)),
+        np.asarray(yi1),
+    )
+
+    _, yr, yi = channelizer.channelize_planes(
+        channelizer.init_planes(m, taps), zr, zi, m=m, taps=taps,
+        twiddle_dtype=jnp.bfloat16,
+    )
+    p = (np.asarray(yr, np.float64) ** 2
+         + np.asarray(yi, np.float64) ** 2)[32:].mean(axis=0)
+    assert int(np.argmax(p)) == ch
+    others = np.delete(p, ch)
+    assert p[ch] > 10.0 * others.max()

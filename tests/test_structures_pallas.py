@@ -227,3 +227,74 @@ def test_ddc_lockin_bank_one_kernel():
     off = np.abs(tail[:, :c]).mean(axis=0)
     off = np.concatenate([off[: k_tone - 3], off[k_tone + 4:]])
     assert off.max() < 0.05
+
+
+def test_atan2_f32_word_error_bound():
+    # the fast-angle path: within 1e-6 rad of the ideal angle on a
+    # dense magnitude/angle grid (the exact path's documented bound is
+    # 2.3e-6 rad, src/atan2.rs:150-152)
+    from idsp_tpu.filters.ddc_pallas import atan2_f32_word
+
+    rng = np.random.default_rng(7)
+    mag = np.exp(rng.uniform(np.log(1e3), np.log(2**62), size=20000))
+    ang = rng.uniform(-np.pi, np.pi, size=20000)
+    y = (mag * np.sin(ang)).astype(np.float32)
+    x = (mag * np.cos(ang)).astype(np.float32)
+    w = np.asarray(atan2_f32_word(jnp.asarray(y), jnp.asarray(x)))
+    got = w.astype(np.float64) * np.pi / 2**31
+    want = np.arctan2(y.astype(np.float64), x.astype(np.float64))
+    err = np.abs(np.angle(np.exp(1j * (got - want))))
+    assert err.max() < 1e-6, err.max()
+
+
+def test_fm_disc_bank_fast_angle_tracks_exact():
+    # angle="fast" (f32 conj product + f32 atan2): tolerance-equal to
+    # the bit-exact kernel — worst case a few hundred LSB of the i32
+    # word through the unity-gain deemphasis — and the carried state
+    # planes stay consistent across blocks.
+    from idsp_tpu.filters.fm_pallas import fm_disc_bank
+    from idsp_tpu.pipelines import fm_disc
+
+    c, t = 128, 512
+    rng = np.random.default_rng(33)
+    # amplitudes well above the noise floor (the FM fixture mixes at
+    # near-full-scale; tiny IQ magnitudes lose angle accuracy in f32)
+    ang = rng.uniform(-np.pi, np.pi, size=(t, c))
+    mag = rng.uniform(2**28, 2**30, size=(t, c))
+    re = jnp.asarray((mag * np.cos(ang)).astype(np.int32))
+    im = jnp.asarray((mag * np.sin(ang)).astype(np.int32))
+    carrier = 0x1934_1234
+    ba_q = jnp.asarray(fm_disc.deemphasis_coefficients(0.02))
+
+    st_e = fm_disc.init_state((c,))
+    st_f = fm_disc.init_state((c,))
+    for lo, hi in ((0, t // 2), (t // 2, t)):
+        st_e, y_e = fm_disc_bank(
+            np.asarray(ba_q), st_e, re[lo:hi], im[lo:hi], carrier,
+            time_chunk=128, interpret=True,
+        )
+        st_f, y_f = fm_disc_bank(
+            np.asarray(ba_q), st_f, re[lo:hi], im[lo:hi], carrier,
+            time_chunk=128, angle="fast", interpret=True,
+        )
+        d = np.abs(
+            np.asarray(y_f, np.int64) - np.asarray(y_e, np.int64)
+        )
+        # dphi error budget: 3.4e-7 rad poly + f32 product rounding
+        # -> ~300 LSB of the 2^31/pi word; deemphasis gain <= 1
+        assert d.max() <= 1024, d.max()
+    np.testing.assert_array_equal(
+        np.asarray(st_f.prev_re), np.asarray(st_e.prev_re)
+    )
+
+
+def test_fm_disc_bank_fast_passes_reference_gates():
+    # the fast path through the reference example's own acceptance
+    # thresholds (fm_disc.rs:151-157): corr > 0.999, gain in (0.95,
+    # 1.05), rms < 5e-4
+    from idsp_tpu.pipelines import fm_disc
+
+    r = fm_disc.run_fm_disc(kernel="fast")
+    assert r["corr"] > 0.999
+    assert 0.95 < r["gain"] < 1.05
+    assert r["rms"] < 5e-4
