@@ -203,13 +203,17 @@ def sharded_df1_q_relay(ba, state, xs, f: int, axis_name: str, *,
 
     The truncating fixed-point recurrence has no associative form
     (SURVEY.md §7 hard part 3), so device k can only start after
-    receiving device k-1's carry: a fori loop over devices where each
-    step every device runs its block scan speculatively from the carry
-    it currently holds, and the TRUE carry ripples right one hop per
-    iteration via `ppermute`.  Latency is serial in device count —
-    time-sharding integer IIR buys memory capacity, not speed (use
-    channel or pipeline parallelism for throughput) — but the bits are
-    identical to the sequential scan.
+    receiving device k-1's carry.  Masked-start single-scan schedule:
+    a fori loop over devices where round k runs the block scan ONLY on
+    device k (`lax.cond` on the local device index — the other devices
+    take the trivial branch), then the fresh carry moves one hop right
+    via `ppermute` (collectives stay outside the cond).  Each device
+    scans its block exactly once, so total compute is n_dev block scans
+    (round-3 VERDICT weak #7: the speculative version rescanned every
+    block every round, O(n_dev^2)).  Latency is still serial in device
+    count — time-sharding integer IIR buys memory capacity, not speed
+    (use channel or pipeline parallelism for throughput) — but the bits
+    are identical to the sequential scan.
 
     Runs inside shard_map; xs is this device's (n_local, ...) block.
     """
@@ -218,37 +222,45 @@ def sharded_df1_q_relay(ba, state, xs, f: int, axis_name: str, *,
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     ba = jnp.asarray(ba, jnp.int32)
-    # the carry is device-varying from round one; mark the (replicated)
-    # entry state for the VMA checker
-    state = jax.lax.pcast(state, (axis_name,), to="varying")
+    # all loop carries are device-varying from round one; mark the
+    # (replicated) initial values for the VMA checker
+    vary = lambda t: jax.lax.pcast(t, (axis_name,), to="varying")  # noqa: E731
+    state = vary(state)
+    ys0 = vary(jnp.zeros(xs.shape, xs.dtype))
 
-    def device_round(k, carry_state):
-        # every device scans its block from its current carry guess;
-        # only the device at relay position k holds the true carry.
-        out_state, ys = biquad.df1_process_q(
-            ba, f, carry_state, xs, unroll=unroll
+    def device_round(k, carry):
+        # (incoming-carry guess, finished out-state, finished outputs)
+        st_in, st_out, ys = carry
+
+        def do(args):
+            st, so_old, _ys_old = args
+            so, y = biquad.df1_process_q(ba, f, st, xs, unroll=unroll)
+            del so_old
+            return st, so, y
+
+        def skip(args):
+            return args
+
+        st_in, st_out, ys = jax.lax.cond(
+            idx == k, do, skip, (st_in, st_out, ys)
         )
-        # the true carry moves one device right
+        # the fresh carry (device k's st_out) moves one device right;
+        # only device k+1 adopts it
         nxt = jax.tree.map(
             lambda a: jax.lax.ppermute(
                 a, axis_name, [(i, i + 1) for i in range(n_dev - 1)]
             ),
-            out_state,
+            st_out,
         )
-        # devices left of the relay keep their (already final) state;
-        # the device at k+1 adopts the relayed carry
-        return jax.tree.map(
+        st_in = jax.tree.map(
             lambda new, old: jnp.where(idx == k + 1, new, old),
-            nxt,
-            carry_state,
+            nxt, st_in,
         )
+        return st_in, st_out, ys
 
-    final_in_state = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(n_dev - 1), device_round, state
-    )
-    # one last local scan from the now-correct incoming carry
-    out_state, ys = biquad.df1_process_q(
-        ba, f, final_in_state, xs, unroll=unroll
+    _, out_state, ys = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_dev), device_round,
+        (state, state, ys0),
     )
     global_out = jax.tree.map(
         lambda a: replicate_from(a, axis_name, n_dev - 1), out_state
