@@ -225,6 +225,32 @@ def measure_peaks(jnp, jax, sync):
     peaks["trans"] = c.trans / max(dt - t_f, dt * 0.05)
     print(f"peak trans    {peaks['trans']/1e12:8.3f} Tops/s", flush=True)
 
+    # --- aggregate VLIW issue (mixed-category dependent chains) ---
+    # Homogeneous chains underfill the bundle (the VPU co-issues
+    # different op classes per cycle); these mixed probes measure the
+    # aggregate lane-op issue rate in `count_ops.issue_ops` currency.
+    # The final peak also takes the silicon estimate MXU/32 (same
+    # clock: 1024 lanes x 4 ALUs vs 4 MXUs x 128x128 MACs x 2 FLOPs),
+    # computed after the MXU probe below.
+    def i32_mix(v, w):
+        v = (v + w) ^ (v >> 3)
+        return jnp.where(v > w, v - w, v + w)
+
+    c, dt = pallas_probe(jnp.int32, ident, i32_mix, (piarr(), piarr()))
+    mix_rates = [c.issue_ops / dt]
+    print(f"mixed i32     {mix_rates[-1]/1e12:8.3f} Tops/s (issue)",
+          flush=True)
+
+    def f32_mix(v, w):
+        v = v * w + jnp.float32(0.125)
+        return jnp.where(v > jnp.float32(1.0), v * jnp.float32(0.5),
+                         v + jnp.float32(0.125))
+
+    c, dt = pallas_probe(jnp.float32, ident, f32_mix, (pfarr(), pfarr()))
+    mix_rates.append(c.issue_ops / dt)
+    print(f"mixed f32     {mix_rates[-1]/1e12:8.3f} Tops/s (issue)",
+          flush=True)
+
     # --- i64 (XLA graph only; x64 enabled package-wide) ---
     shp = (2048, 512)
 
@@ -293,6 +319,13 @@ def measure_peaks(jnp, jax, sync):
     dt = _measure(jax.jit(stream), big, iters=8, sync=sync)
     peaks["hbm"] = nbytes / dt
     print(f"peak HBM      {peaks['hbm']/1e9:8.1f} GB/s", flush=True)
+
+    # aggregate issue peak: best mixed-probe rate, floored by the
+    # same-clock silicon estimate (see comment at the mixed probes)
+    peaks["vpu_issue"] = max(*mix_rates, peaks["mxu"] / 32.0)
+    print(f"peak issue    {peaks['vpu_issue']/1e12:8.3f} Tops/s "
+          f"(mixed probes vs MXU/32 = {peaks['mxu']/32e12:.3f})",
+          flush=True)
     return peaks
 
 
@@ -453,12 +486,16 @@ def main(argv=None):
     ap.add_argument("--peaks-only", action="store_true")
     ap.add_argument("--skip-measure", action="store_true",
                     help="static counts only (no device timing)")
+    ap.add_argument("--remodel", action="store_true",
+                    help="offline: re-trace counts on CPU, reuse the "
+                         "stored peaks AND achieved rates from "
+                         "ROOFLINE.json, rewrite the artifacts")
     ap.add_argument("--only", type=str, default=None)
     args = ap.parse_args(argv)
 
     import jax
 
-    if os.environ.get("IDSP_FORCE_CPU"):
+    if os.environ.get("IDSP_FORCE_CPU") or args.remodel:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
@@ -470,7 +507,14 @@ def main(argv=None):
     device = str(jax.devices()[0])
     print("device:", device, flush=True)
 
-    if args.skip_measure and os.path.exists(PEAKS_PATH):
+    prior_ach = {}
+    if args.remodel:
+        old = json.load(open(JSON_PATH))
+        device = old["device"]
+        peaks = old["peaks"]
+        prior_ach = {r["name"]: r.get("achieved_gs")
+                     for r in old["configs"]}
+    elif args.skip_measure and os.path.exists(PEAKS_PATH):
         peaks = json.load(open(PEAKS_PATH))["peaks"]
     else:
         peaks = measure_peaks(jnp, jax, sync)
@@ -493,7 +537,12 @@ def main(argv=None):
                     ("hbm", mt["hbm"]), key=lambda kv: kv[1])[0]
         achieved = None
         pct = None
-        if not args.skip_measure:
+        if args.remodel:
+            prev = prior_ach.get(name)
+            if prev is not None:
+                achieved = prev * 1e9
+                pct = 100.0 * achieved / limit_rate
+        elif not args.skip_measure:
             try:
                 jfn = jax.jit(fn)
                 dt = _measure(jfn, *fargs, iters=6, sync=sync)
@@ -507,11 +556,13 @@ def main(argv=None):
             "samples": samples,
             "ops_per_sample": {
                 cat: getattr(counts, cat) / samples
-                for cat in ("f32", "i32", "i64", "cmp", "select",
-                            "convert", "div", "trans")
+                for cat in ("f32", "i32", "i32_mul", "i64", "i64_mul",
+                            "cmp", "select", "convert", "div", "trans",
+                            "fft_flops")
                 if getattr(counts, cat)
             },
             "vpu_ops_per_sample": counts.vpu_total / samples,
+            "issue_ops_per_sample": counts.issue_ops / samples,
             "mxu_flops_per_sample": counts.mxu_flops / samples,
             "gather_per_sample": counts.gather_elems / samples,
             "io_bytes_per_sample": (ib + ob) / samples,
@@ -547,15 +598,22 @@ def write_md(device, peaks, results):
         "Peaks are micro-probed in the same currency as the static",
         "counter (`idsp_tpu/roofline.py`): lane-ops/s per category",
         "(an FMA counts as 2 lane-ops), MXU FLOPs/s, HBM bytes/s.",
-        "The speed-of-light rate charges each category at its peak",
-        "(VPU categories serialize; MXU/HBM overlap), so achieved-% is",
-        "a true utilization bound, not a vibe.",
+        "The speed-of-light rate is the max of the aggregate VLIW",
+        "issue bound (total lane-ops / `vpu_issue`, i64 charged as",
+        "equivalent-i32 limb ops) and the per-unit caps for dedicated",
+        "narrow hardware (i32 mul, convert, div, transcendental);",
+        "MXU/HBM overlap.  achieved-% is then a true utilization",
+        "bound, not a vibe (the round-3 model serialized categories",
+        "and real kernels beat it — see idsp_tpu/roofline.py).",
         "",
         "## Machine peaks",
         "",
         "| unit | peak |",
         "|---|---|",
     ]
+    if "vpu_issue" in peaks:
+        lines.append(f"| VPU aggregate issue | "
+                     f"{peaks['vpu_issue']/1e12:.3f} Top/s |")
     for k in ("f32", "i32", "i32_mul", "i64", "i64_mul", "cmp",
               "select", "convert", "div", "trans"):
         if k in peaks:
