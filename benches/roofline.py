@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,11 +37,13 @@ MD_PATH = os.path.join(HERE, "ROOFLINE.md")
 
 
 def _measure(fn, *args, iters=8, trials=6, sync=None):
-    """Seconds per dispatch by iteration differencing, min over trials.
+    """Seconds per dispatch: MEDIAN of iteration differences.
 
-    ``iters`` auto-scales so the differenced leg is >= ~50 ms — the
-    tunnel's multi-ms dispatch jitter otherwise dominates sub-ms
-    kernels and fabricates rates in either direction."""
+    ``iters`` auto-scales so the differenced gap is >= ~100 ms — the
+    tunnel's multi-10-ms readback jitter otherwise dominates sub-ms
+    kernels and fabricates rates in either direction.  The median
+    (not the min — round-4 fix, see profiling.measure_rate) keeps a
+    jitter spike in the short leg from overstating the rate."""
     out = fn(*args)
     sync(out)
     def timed(k):
@@ -54,17 +57,17 @@ def _measure(fn, *args, iters=8, trials=6, sync=None):
     est = max((timed(10) - timed(2)) / 8.0, 1e-6)
     iters = max(iters, int(0.05 / est) + 1)
     iters = min(iters, 3000)
-    best = float("inf")
+    diffs = []
     for _ in range(trials):
         for _attempt in range(3):
-            d1 = min(timed(iters), timed(iters))
-            d2 = min(timed(3 * iters), timed(3 * iters))
+            d1 = timed(iters)
+            d2 = timed(3 * iters)
             dt = (d2 - d1) / (2 * iters)
             if dt > 0:
-                best = min(best, dt)
+                diffs.append(dt)
                 break
-    assert best < float("inf")
-    return best
+    assert diffs
+    return statistics.median(diffs)
 
 
 #: Pallas probe geometry: each grid step keeps a (PROBE_ROWS, 128)

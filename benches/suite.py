@@ -120,14 +120,19 @@ def main(argv=None):
         row = Row(name)
 
         def one_trial():
-            # min-of-2 per leg: the tunnel's dispatch latency has
-            # multi-ms spikes that otherwise leak into the difference.
-            # A non-positive difference (clock wander mid-trial) is a
+            # Single difference over a 4x-iters gap; the published
+            # statistic is the MEDIAN across trials (Row.line), which
+            # is robust to the tunnel's multi-10-ms readback jitter.
+            # Do NOT min-select legs or trials: min-of-differences
+            # keeps exactly the pairings where a jitter spike landed
+            # in the short leg and overstates the rate (observed 156
+            # GS/s for a 15 GS/s-roofline kernel — round-4 fix, see
+            # profiling.measure_rate).  A non-positive difference is a
             # failed measurement — retry, never record a bogus rate.
             for _attempt in range(3):
-                d1 = min(timed(iters), timed(iters))
-                d2 = min(timed(3 * iters), timed(3 * iters))
-                dt = (d2 - d1) / (2 * iters)
+                d1 = timed(iters)
+                d2 = timed(5 * iters)
+                dt = (d2 - d1) / (4 * iters)
                 if dt > 0:
                     row.rates.append(samples / dt)
                     return

@@ -99,6 +99,61 @@ def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5,
     return BenchResult(name=name, samples=samples * iters, seconds=dt)
 
 
+def measure_rate(step, state, *args, samples: int, iters=(10, 110),
+                 trials: int = 6, stateful: bool = True):
+    """Robust chained-dispatch throughput: MEDIAN of iteration
+    differences.
+
+    Times ``k1`` and ``k2`` chained dispatches (state threaded so the
+    device cannot overlap iterations) and forms
+    ``(t(k2) - t(k1)) / (k2 - k1)`` per trial.  The fixed
+    dispatch+readback overhead of the axon tunnel cancels in each
+    difference; the median over trials is robust to that overhead's
+    multi-10-ms variance.  Selecting the MINIMUM difference instead
+    (the pre-round-4 discipline) systematically overstates rates: an
+    overhead spike landing in the k1 leg shrinks the difference, and
+    min-selection keeps exactly those lucky pairings — observed up to
+    a bogus 156 GS/s for a kernel whose issue roofline is 15 GS/s.
+    Use a k2 - k1 gap large enough that the expected kernel time over
+    the gap dwarfs the ~30-60 ms readback jitter.
+
+    ``step(state, *args)`` must return the new state first (or the
+    value itself when ``stateful=False``).  Returns
+    ``(seconds_per_dispatch, diffs)`` with the per-trial differences
+    for spread reporting; seconds_per_dispatch is the median.  Raises
+    if no trial produced a positive difference.
+    """
+    import statistics
+
+    k1, k2 = iters
+    out = step(state, *args)
+    sync(out)
+
+    def timed(k):
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(k):
+            res = step(st, *args)
+            if stateful:
+                st = res[0]
+        sync(res)
+        return time.perf_counter() - t0
+
+    diffs = []
+    for _ in range(trials):
+        d1 = timed(k1)
+        d2 = timed(k2)
+        dt = (d2 - d1) / (k2 - k1)
+        if dt > 0:
+            diffs.append(dt)
+    if not diffs:
+        raise RuntimeError(
+            "no positive iteration difference (dispatch jitter exceeds"
+            f" the signal — raise the iteration gap {iters})"
+        )
+    return statistics.median(diffs), diffs
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/idsp_tpu_trace"):
     """Capture a jax.profiler trace around a block."""

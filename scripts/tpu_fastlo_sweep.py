@@ -77,16 +77,22 @@ def main():
                     _ = float(jnp.sum(yy))
                     return time.perf_counter() - t0
 
-                best = float("inf")
-                for _ in range(4):
-                    d1 = min(timed(5), timed(5))
-                    d2 = min(timed(15), timed(15))
-                    dt = (d2 - d1) / 10
+                # median of wide-gap differences (round-4 fix: min-
+                # selection keeps jitter-lucky pairings and overstates
+                # — see profiling.measure_rate)
+                import statistics
+
+                diffs = []
+                for _ in range(5):
+                    d1 = timed(10)
+                    d2 = timed(60)
+                    dt = (d2 - d1) / 50
                     if dt > 0:
-                        best = min(best, dt)
-                rate = c * t / best
+                        diffs.append(dt)
+                med = statistics.median(diffs)
+                rate = c * t / med
                 print(f"tc={tc:4d} unroll={unroll} x={layout:9s}"
-                      f"  {best * 1e3:7.3f} ms  {rate / 1e9:6.2f} GS/s",
+                      f"  {med * 1e3:7.3f} ms  {rate / 1e9:6.2f} GS/s",
                       flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"tc={tc:4d} unroll={unroll} x={layout:9s}  FAILED:"
