@@ -243,10 +243,32 @@ def df1_bank_q(ba, state: Df1State, xs, f: int = 29, *, time_chunk: int = 256,
 def _df1_bank_q_impl(ba_static, state: Df1State, xs, f: int, *,
                      time_chunk: int, unroll: int = 2, interpret: bool = False,
                      out_dtype=None):
-    return _df1_bsplit_call(
-        ba_static, None, state, xs, f, unroll=unroll,
+    t, c = xs.shape
+    assert c % 128 == 0, "channel count must be a multiple of 128"
+    cs = c // 128
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+
+    def body(carry, x0, _extras):
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        y = y0 if out_dtype is None else y0.astype(out_dtype)
+        return (x0, x1, y0, y1), y
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body, unroll=unroll), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret, out_dtype=out_dtype,
     )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
 
 
 def df1_bank_q_dec(ba, state: Df1State, xs, f: int = 29, *, d: int = 16,
@@ -281,12 +303,32 @@ def df1_bank_q_dec(ba, state: Df1State, xs, f: int = 29, *, d: int = 16,
 def _df1_bank_q_dec_impl(ba_static, state: Df1State, xs, f: int, d: int, *,
                          time_chunk: int, interpret: bool = False,
                          out_dtype=None):
-    assert xs.shape[0] % d == 0
+    t, c = xs.shape
+    assert c % 128 == 0 and t % d == 0
+    cs = c // 128
     ot = jnp.int32 if out_dtype is None else out_dtype
-    return _df1_bsplit_call(
-        ba_static, None, state, xs, f, unroll=4, dec=d,
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+
+    def body(carry, x0, _extras):
+        x1, x2, y1, y2 = carry
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        return (x0, x1, y0, y1), y0.astype(ot)
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body, unroll=4, dec=d), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret, out_dtype=ot,
     )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t // d, c)
 
 
 # --- shared plumbing for the bank-kernel family ------------------------------
@@ -358,13 +400,7 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
     # corrupt the carried state — keep divisibility while clamping.
     unroll = getattr(kernel, "_unroll", 1)
     dec = getattr(kernel, "_dec", 1)
-    # extra (time_chunk, cs, 128) scratch planes the kernel asks for
-    # (tuple of dtypes — e.g. the hoisted b-side (hi: i32, lo: u32)
-    # accumulator planes of the bsplit kernels; the lo limb MUST stay
-    # unsigned or `_add_i64`'s carry compare goes signed and corrupts)
-    plane_dtypes = getattr(kernel, "_scratch_planes", ())
-    per_elem = 16 + 4 * len(plane_dtypes) + (4 if dec > 1 else 0)
-    vmem_cap = max(8, (12 * 2**20) // (per_elem * c))
+    vmem_cap = max(8, (12 * 2**20) // (16 * c))
     time_chunk = _pick_time_chunk(t, vmem_cap, unroll, dec, time_chunk)
     grid = (t // time_chunk,)
 
@@ -394,9 +430,6 @@ def _bank_call(kernel, st_in, xs3, *, time_chunk, interpret, extra_in=(),
     if donate and xs3.dtype == out_dtype and dec == 1:
         aliases = {n_extra + 1: 0}
     scratch = [pltpu.VMEM((rows, cs, 128), st_in.dtype)]
-    scratch += [
-        pltpu.VMEM((time_chunk, cs, 128), dt) for dt in plane_dtypes
-    ]
     if dec > 1:
         # full-rate chunk output lands here; the kernel epilogue copies
         # the kept rows (reshape + unit slice) into the walked output
@@ -641,154 +674,6 @@ def _mac5_q(ba, x0, x1, x2, y1, y2):
     return acc
 
 
-def _bsum_chunk(b0, b1, b2, x0, st):
-    """Vectorized b-side FIR b0*x[j] + b1*x[j-1] + b2*x[j-2] over a
-    whole (tc, cs, 128) chunk as emulated-i64 (hi, lo) planes.
-
-    ``st`` is the packed state whose rows 0/1 carry x1/x2 into the
-    chunk; the shifted operands are built with axis-0 concat + unit
-    slices (no strided gathers)."""
-    x1v = jnp.concatenate([st[0:1], x0[:-1]], axis=0)
-    x2v = jnp.concatenate([st[1:2], x1v[:-1]], axis=0)
-    acc = _mul_coef_i32(b0, x0)
-    acc = _add_i64(acc, _mul_coef_i32(b1, x1v))
-    return _add_i64(acc, _mul_coef_i32(b2, x2v))
-
-
-def _df1_bsplit_kernel(ba_static, f, *, unroll: int = 2, dec: int = 1,
-                       cast=None, clamp=None):
-    """DF1 bank kernel with the b-side FIR hoisted out of the serial
-    loop.
-
-    The sequential DF1 recurrence is LATENCY-bound at narrow banks:
-    with cs == 8 (1024 lanes — one full vreg per row) the 5-MAC limb
-    chain (~25 dependent vector ops) stalls the VPU issue pipeline
-    (benches/ROOFLINE.md round 4: df1_bank_q 52% of the aggregate
-    issue peak at cs=8 vs 98% for the cs=16 whole-stack kernel).
-    Only the a-side (feedback) MACs depend on the recurrence; the
-    b-side FIR b0*x0 + b1*x1 + b2*x2 is precomputed for the WHOLE
-    chunk as one vectorized pass with perfect ILP (`_bsum_chunk`), and
-    the serial loop shrinks to 2 MACs + 2 emulated-i64 adds + the
-    rounding shift per sample.
-
-    BIT-EXACT vs the 5-MAC body (`_mac5_q`): the emulated i64
-    accumulator wraps mod 2^64 and wrapping addition is associative
-    and commutative, so regrouping ((b0x0 + b1x1) + b2x2) + a1y1 +
-    a2y2 cannot change any result bit (the same modular-arithmetic
-    guarantee the CIC recomposition relies on).  The rounding shift
-    still happens exactly once, on the full 5-term accumulator.
-
-    ``ba_static``: 5 ints (compile-time coefficients), or None — the
-    kernel then takes one (5, cs, 128) i32 plane input (runtime
-    coefficients, limb-split once per chunk).
-    ``clamp``: optional (u, lo, hi) anti-windup applied to y0 BEFORE
-    feedback (biquad.rs:394-404 semantics).
-    """
-    n_extra = 0 if ba_static is not None else 1
-
-    def kernel(*refs):
-        extra_refs = refs[:n_extra]
-        if dec > 1:
-            (st_in_ref, x_ref, y_ref, out_state_ref, state_ref,
-             bs_hi_ref, bs_lo_ref, yfull_ref) = refs[n_extra:]
-        else:
-            (st_in_ref, x_ref, y_ref, out_state_ref, state_ref,
-             bs_hi_ref, bs_lo_ref) = refs[n_extra:]
-            yfull_ref = y_ref
-        tq = pl.program_id(0)
-        n_t = pl.num_programs(0)
-
-        @pl.when(tq == 0)
-        def _():
-            state_ref[...] = st_in_ref[...]
-
-        if ba_static is not None:
-            b0, b1, b2, a1, a2 = ba_static
-        else:
-            ba = extra_refs[0]
-            b0, b1, b2, a1, a2 = (
-                _split_coef(ba[i]) for i in range(5)
-            )
-
-        st = state_ref[...]
-        x0 = x_ref[...]
-        tc = x0.shape[0]
-        acc = _bsum_chunk(b0, b1, b2, x0, st)
-        bs_hi_ref[...] = acc[0]
-        bs_lo_ref[...] = acc[1]
-
-        def step(j, packed):
-            y1, y2 = packed[0], packed[1]
-            for u_ in range(unroll):
-                i = j * unroll + u_
-                acc = _add_i64(
-                    (bs_hi_ref[i], bs_lo_ref[i]), _mul_coef_i32(a1, y1)
-                )
-                acc = _add_i64(acc, _mul_coef_i32(a2, y2))
-                y0 = _shr_i64_to_i32(acc[0], acc[1], f)
-                if clamp is not None:
-                    cu, clo, chi = clamp
-                    y0 = jnp.clip(
-                        y0 + jnp.int32(cu), jnp.int32(clo), jnp.int32(chi)
-                    )
-                yfull_ref[i] = y0 if cast is None else y0.astype(cast)
-                y2 = y1
-                y1 = y0
-            return jnp.stack((y1, y2))
-
-        yst = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(tc // unroll), step, st[2:4]
-        )
-        state_ref[0] = x0[tc - 1]
-        state_ref[1] = x0[tc - 2]
-        state_ref[2] = yst[0]
-        state_ref[3] = yst[1]
-
-        if dec > 1:
-            cs = x0.shape[1]
-            y_ref[...] = yfull_ref[...].reshape(
-                tc // dec, dec, cs, 128
-            )[:, 0]
-
-        @pl.when(tq == n_t - 1)
-        def _():
-            out_state_ref[...] = state_ref[...]
-
-    kernel._unroll = unroll
-    kernel._dec = dec
-    kernel._scratch_planes = (jnp.int32, jnp.uint32)
-    return kernel
-
-
-def _df1_bsplit_call(ba_static, ba_planes, state: Df1State, xs, f, *,
-                     unroll=2, dec=1, time_chunk, interpret,
-                     out_dtype=None, clamp=None, vma=None):
-    """Shared runner for the b-hoisted DF1 bank family: state pack,
-    kernel launch, state unpack."""
-    t, c = xs.shape
-    assert c % 128 == 0, "channel count must be a multiple of 128"
-    cs = c // 128
-    st_in = jnp.stack(
-        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
-        axis=0,
-    ).reshape(4, cs, 128)
-    kern = _df1_bsplit_kernel(
-        ba_static, f, unroll=unroll, dec=dec, cast=out_dtype, clamp=clamp
-    )
-    extra = () if ba_planes is None else (ba_planes.reshape(5, cs, 128),)
-    ys, st_out = _bank_call(
-        kern, st_in, xs.reshape(t, cs, 128),
-        time_chunk=time_chunk, interpret=interpret, extra_in=extra,
-        out_dtype=out_dtype, vma=vma,
-    )
-    st_out = st_out.reshape(4, c)
-    new_state = Df1State(
-        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
-        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
-    )
-    return new_state, ys.reshape(t // dec, c)
-
-
 # --- clamped DF1 bank --------------------------------------------------------
 
 
@@ -816,10 +701,31 @@ def df1_clamp_bank_q(ba, state: Df1State, xs, f: int = 29, *,
 )
 def _df1_clamp_bank_q_impl(ba_static, state: Df1State, xs, f, u, lo, hi, *,
                            time_chunk, interpret):
-    return _df1_bsplit_call(
-        ba_static, None, state, xs, f, clamp=(u, lo, hi),
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+
+    def body(carry, x0, _extras):
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_q(ba_static, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
+        return (x0, x1, y0, y1), y0
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body), st_in, xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
     )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
 
 
 # --- wide (i64 feedback state) DF1 bank --------------------------------------
@@ -1034,10 +940,36 @@ def df1_bank_q_coef(ba_planes, state: Df1State, xs, f: int = 29, *,
 )
 def _df1_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, *, time_chunk,
                           unroll=2, interpret=False):
-    return _df1_bsplit_call(
-        None, ba_planes, state, xs, f, unroll=unroll,
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+
+    def prep(extras):
+        (ba,) = extras
+        return tuple(_split_coef(ba[i]) for i in range(5))
+
+    def body(carry, x0, ba_split):
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_presplit(ba_split, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        return (x0, x1, y0, y1), y0
+
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body, unroll=unroll, prep=prep), st_in,
+        xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
+        extra_in=(ba_planes.reshape(5, cs, 128),),
     )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
 
 
 def _coef_planes(ba_planes, c):
@@ -1070,10 +1002,36 @@ def df1_clamp_bank_q_coef(ba_planes, state: Df1State, xs, f: int = 29, *,
 )
 def _df1_clamp_bank_q_coef_impl(ba_planes, state: Df1State, xs, f, u, lo,
                                 hi, *, time_chunk, interpret):
-    return _df1_bsplit_call(
-        None, ba_planes, state, xs, f, clamp=(u, lo, hi),
+    t, c = xs.shape
+    assert c % 128 == 0
+    cs = c // 128
+
+    def prep(extras):
+        (ba,) = extras
+        return tuple(_split_coef(ba[i]) for i in range(5))
+
+    def body(carry, x0, ba_split):
+        x1, x2, y1, y2 = carry[0], carry[1], carry[2], carry[3]
+        acc = _mac5_presplit(ba_split, x0, x1, x2, y1, y2)
+        y0 = _shr_i64_to_i32(acc[0], acc[1], f)
+        y0 = jnp.clip(y0 + jnp.int32(u), jnp.int32(lo), jnp.int32(hi))
+        return (x0, x1, y0, y1), y0
+
+    st_in = jnp.stack(
+        [state.x[..., 0], state.x[..., 1], state.y[..., 0], state.y[..., 1]],
+        axis=0,
+    ).reshape(4, cs, 128)
+    ys, st_out = _bank_call(
+        _seq_bank_kernel(body, prep=prep), st_in, xs.reshape(t, cs, 128),
         time_chunk=time_chunk, interpret=interpret,
+        extra_in=(ba_planes,),
     )
+    st_out = st_out.reshape(4, c)
+    new_state = Df1State(
+        x=jnp.stack([st_out[0], st_out[1]], axis=-1),
+        y=jnp.stack([st_out[2], st_out[3]], axis=-1),
+    )
+    return new_state, ys.reshape(t, c)
 
 
 def df1_wide_bank_coef(ba_planes, state, xs, f: int = 29, *, clamp=None,

@@ -39,10 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import trig
 from ..ops import fastlo as _fastlo
 from .biquad import Df1State
-from .biquad_pallas import (
-    _add_i64, _bsum_chunk, _mac5_q, _mul_coef_i32, _mul_i32_i32_to_i64,
-    _shr_i64_to_i32,
-)
+from .biquad_pallas import _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32
 
 
 def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
@@ -510,24 +507,13 @@ def _fir_even(odd_s, even_s, ln, nn, taps):
     return acc + even_s[0:nn]
 
 
-def _run_fused_cascade(iir, taps_static, state, tails, xs, *,
+def _run_fused_cascade(body, taps_static, state, tails, xs, *,
                        time_chunk, unroll, interpret, fastlo_in=None,
                        x_layout="replicate", vma=None):
-    """Composer: sequential DF1 bank + fused half-band cascade.
-
-    The DF1 runs in b-hoisted (bsplit) form: the b-side FIR
-    b0*x0 + b1*x1 + b2*x2 is precomputed for the whole chunk as one
-    vectorized pass (`biquad_pallas._bsum_chunk`) and the serial loop
-    carries only (y1, y2) — 2 feedback MACs + 2 emulated-i64 adds +
-    the rounding shift per sample.  Bit-exact vs the 5-MAC body:
-    wrapping emulated-i64 addition is associative, so the regrouping
-    cannot change any bit (see `biquad_pallas._df1_bsplit_kernel`).
+    """Composer: sequential IIR bank + fused half-band cascade.
 
     Args:
-      iir: ``(ba_static, f, clamp_static)`` — 5 static int
-        coefficients, fractional bits, and optional (u, lo, hi)
-        anti-windup clamp applied to y0 BEFORE feedback
-        (biquad.rs:394-404).
+      body: ``(carry4, x0_i32) -> (carry4, y0_i32)`` per-sample IIR.
       taps_static: tuple of per-stage one-sided tap tuples, highest
         rate first.
       state: Df1State over c2 lanes.
@@ -561,10 +547,9 @@ def _run_fused_cascade(iir, taps_static, state, tails, xs, *,
     assert len(tails) == depth
 
     # VMEM model: ~18 B per sample-channel for the parity/tail scratch
-    # family + 8 B for the hoisted b-side (hi, lo) planes; the fastlo
-    # variant adds the (tc, cs2) i32 mix scratch, the (tc, cs) fine
-    # tables and the f32 mix temporaries (~16 B more).
-    per_elem = 42 if fastlo_in is not None else 26
+    # family; the fastlo variant adds the (tc, cs2) i32 mix scratch,
+    # the (tc, cs) fine tables and the f32 mix temporaries (~16 B more).
+    per_elem = 34 if fastlo_in is not None else 18
     vmem_cap = max(8, (10 * 2**20) // (per_elem * c2))
     from .biquad_pallas import _pick_time_chunk
 
@@ -579,7 +564,6 @@ def _run_fused_cascade(iir, taps_static, state, tails, xs, *,
     grid = (t // tc,)
 
     n_mix = 5 if fastlo_in is not None else 1
-    ba_static, f_bits, clamp_static = iir
 
     def kernel(*refs):
         st_in_ref = refs[0]
@@ -593,7 +577,6 @@ def _run_fused_cascade(iir, taps_static, state, tails, xs, *,
         t_refs = scr[1:1 + depth]
         oe_refs = scr[1 + depth:1 + 3 * depth]  # odd0, even0, odd1, ...
         src_ref = scr[1 + 3 * depth] if fastlo_in is not None else mix_refs[0]
-        bs_hi_ref, bs_lo_ref = scr[-2], scr[-1]
 
         tq = pl.program_id(0)
         n_t = pl.num_programs(0)
@@ -613,49 +596,22 @@ def _run_fused_cascade(iir, taps_static, state, tails, xs, *,
             oe_refs[2 * d][0:lns[d]] = t_refs[d][0:lns[d]]
             oe_refs[2 * d + 1][0:mes[d]] = t_refs[d][lns[d]:nts[d]]
 
-        # vectorized b-side over the whole chunk (perfect ILP); the
-        # serial loop below carries only the (y1, y2) feedback rows
-        stv = state_ref[...]
-        src = src_ref[...]
-        acc = _bsum_chunk(
-            ba_static[0], ba_static[1], ba_static[2], src, stv
-        )
-        bs_hi_ref[...] = acc[0]
-        bs_lo_ref[...] = acc[1]  # u32 plane: keep the carry compare unsigned
-        a1c, a2c = ba_static[3], ba_static[4]
-
         def step(j, packed):
-            y1, y2 = packed[0], packed[1]
+            carry = tuple(packed[rr] for rr in range(4))
             for u in range(unroll):
-                i = j * unroll + u
-                acc = _add_i64(
-                    (bs_hi_ref[i], bs_lo_ref[i]),
-                    _mul_coef_i32(a1c, y1),
-                )
-                acc = _add_i64(acc, _mul_coef_i32(a2c, y2))
-                y0 = _shr_i64_to_i32(acc[0], acc[1], f_bits)
-                if clamp_static is not None:
-                    cu, clo, chi = clamp_static
-                    y0 = jnp.clip(
-                        y0 + jnp.int32(cu), jnp.int32(clo), jnp.int32(chi)
-                    )
+                carry, y0 = body(carry, src_ref[j * unroll + u])
                 k = j * (unroll // 2) + u // 2
                 # even unroll => sample parity is static per slot
                 if u % 2 == 0:
                     oe_refs[1][mes[0] + k] = y0.astype(jnp.float32)
                 else:
                     oe_refs[0][lns[0] + k] = y0.astype(jnp.float32)
-                y2 = y1
-                y1 = y0
-            return jnp.stack((y1, y2))
+            return jnp.stack(carry)
 
-        yst = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(tc // unroll), step, stv[2:4]
+        st = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(tc // unroll), step, state_ref[...]
         )
-        state_ref[0] = src[tc - 1]
-        state_ref[1] = src[tc - 2]
-        state_ref[2] = yst[0]
-        state_ref[3] = yst[1]
+        state_ref[...] = st
 
         for d in range(depth):
             yv = _fir_even(oe_refs[2 * d], oe_refs[2 * d + 1], lns[d],
@@ -680,7 +636,7 @@ def _run_fused_cascade(iir, taps_static, state, tails, xs, *,
 
         @pl.when(tq == n_t - 1)
         def _():
-            out_state_ref[...] = state_ref[...]
+            out_state_ref[...] = st
             for tr, tout in zip(t_refs, tout_refs):
                 tout[...] = tr[...]
 
@@ -757,10 +713,6 @@ def _run_fused_cascade(iir, taps_static, state, tails, xs, *,
                 [],
             )
             + mix_scratch
-            # hoisted b-side accumulator planes (hi: i32, lo: u32 — the
-            # lo limb must stay unsigned for _add_i64's carry compare)
-            + [pltpu.VMEM((tc, cs2, 128), jnp.int32),
-               pltpu.VMEM((tc, cs2, 128), jnp.uint32)]
         ),
         interpret=interpret,
     )(st_in, *[tl.reshape(nt, cs2, 128) for tl, nt in zip(tails, nts)],
@@ -864,7 +816,7 @@ def df1_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29, *,
 def _df1_hbf_cascade_impl(ba_static, taps_static, state, tails, xs, f, *,
                           time_chunk, unroll, interpret, vma=None):
     return _run_fused_cascade(
-        (ba_static, f, None), taps_static, state, tails, xs,
+        _iir_df1_body(ba_static, f), taps_static, state, tails, xs,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
         vma=vma,
     )
@@ -900,7 +852,8 @@ def _df1_clamp_hbf_cascade_impl(ba_static, taps_static, state, tails, xs,
                                 f, u, lo, hi, *, time_chunk, unroll,
                                 interpret):
     return _run_fused_cascade(
-        (ba_static, f, (u, lo, hi)), taps_static, state, tails, xs,
+        _iir_df1_clamp_body(ba_static, f, u, lo, hi), taps_static, state,
+        tails, xs,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
     )
 
@@ -1379,8 +1332,13 @@ def fastlo_ddc_cascade_bank(ba, state: Df1State, tails, phase0, steps, x,
 def _fastlo_ddc_cascade_impl(ba_static, taps_static, state, tails, phase0,
                              steps, x, f, clamp_static, *, time_chunk,
                              unroll, trig_dtype, x_layout, interpret):
+    body = (
+        _iir_df1_body(ba_static, f)
+        if clamp_static is None
+        else _iir_df1_clamp_body(ba_static, f, *clamp_static)
+    )
     return _run_fused_cascade(
-        (ba_static, f, clamp_static), taps_static, state, tails, None,
+        body, taps_static, state, tails, None,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
         fastlo_in=(x, phase0, steps, trig_dtype), x_layout=x_layout,
     )
