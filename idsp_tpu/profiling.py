@@ -126,6 +126,8 @@ def measure_rate(step, state, *args, samples: int, iters=(10, 110),
     import statistics
 
     k1, k2 = iters
+    if k2 <= k1:
+        raise ValueError(f"iters gap must be positive, got {iters}")
     out = step(state, *args)
     sync(out)
 

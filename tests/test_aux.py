@@ -72,3 +72,29 @@ def test_channelizer_channel_sharded():
     np.testing.assert_allclose(
         np.asarray(y_sh), np.asarray(y_ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_measure_rate_median_statistic():
+    """profiling.measure_rate: positive median of wide-gap differences,
+    stateful chaining, and the no-positive-difference failure path."""
+    import jax.numpy as jnp
+    import pytest
+
+    from idsp_tpu import profiling
+
+    step = jax.jit(lambda s, x: (s + jnp.sum(x), s))
+    dt, diffs = profiling.measure_rate(
+        step, jnp.float32(0), jnp.ones((64, 64)),
+        samples=64 * 64, iters=(2, 12), trials=3,
+    )
+    assert dt > 0 and 1 <= len(diffs) <= 3
+    import statistics
+
+    assert dt == statistics.median(diffs)
+
+    # a degenerate gap must be rejected up front, not divide by zero
+    with pytest.raises(ValueError):
+        profiling.measure_rate(
+            step, jnp.float32(0), jnp.ones((4,)),
+            samples=4, iters=(5, 5), trials=2,
+        )
