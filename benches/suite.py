@@ -688,9 +688,11 @@ def main(argv=None):
             "fm receiver bank (one kernel)",
             # requests tc=1024; _pick_time_chunk VMEM-clamps (at c=512
             # the effective chunk is 512 — scripts/tpu_fm_probe.py).
-            # The composed path above is faster single-chip for the
-            # bit-exact angle: in-kernel atan2_i32 costs ~736 lane-
-            # ops/sample vs the XLA path's ~320 (benches/ROOFLINE.json)
+            # The composed path above is ~8x faster single-chip: at
+            # c=512 this kernel runs the DF1 on cs=4 half-vreg rows
+            # and the discriminator 8 rows at a time, so it is
+            # latency/overhead-bound regardless of the angle's op
+            # count (see fm_pallas.fm_disc_bank docstring)
             lambda st, re, im: fm_disc_bank(
                 ba_fm_np, st, re, im, 12345, time_chunk=1024,
             ),
@@ -700,7 +702,8 @@ def main(argv=None):
             "fm receiver bank (1 kernel, fast atan)",
             # SNR-gated f32 discriminator (angle="fast"): ~30 lane-
             # ops/sample for disc+angle; passes the reference FM gates
-            # (tests/test_structures_pallas.py)
+            # (tests/test_structures_pallas.py).  Measures ~equal to
+            # the exact angle — the angle is not the binding cost
             lambda st, re, im: fm_disc_bank(
                 ba_fm_np, st, re, im, 12345, time_chunk=1024,
                 angle="fast",

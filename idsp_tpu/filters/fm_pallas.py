@@ -85,17 +85,22 @@ def fm_disc_bank(ba, state, re, im, carrier: int, f: int = 30, *,
                  interpret: bool = False):
     """The whole FM receiver in ONE kernel over a channel bank.
 
-    Note (on-device sweep, scripts/tpu_fm_probe.py, 2026-08-18; op
-    accounting benches/ROOFLINE.json, 2026-08-19): with the default
-    bit-exact angle the composed XLA path (`fm_disc.fm_receiver`) is
-    FASTER on a single chip (~7.6 vs ~3.5 GS/s) — the in-kernel
-    `atan2_i32` limb/select chain costs ~736 lane-ops/sample vs the
-    XLA graph's ~320 (i64-weighted), and both run at ~their VPU
-    roofline, so the fusion's ~8 B/sample HBM saving cannot close a
-    2.3x compute gap.  ``angle="fast"`` replaces the discriminator
-    with the f32 conjugate product + `atan2_f32_word` (~30 lane-
-    ops/sample, SNR-gated like ops/fastlo.py, passes the reference FM
-    gates) — that configuration beats the composed exact path.
+    Note (honest median-of-differences re-measurement, round 4 —
+    benches/RESULTS.md): the composed XLA path (`fm_disc.fm_receiver`)
+    is ~8x FASTER on a single chip (~7.1 GS/s vs ~0.9 for this kernel
+    at c=512), and ``angle="fast"`` (f32 conjugate product +
+    `atan2_f32_word`, ~30 lane-ops/sample vs ~736 for the limb
+    `atan2_i32`, SNR-gated, passes the reference FM gates) does NOT
+    close the gap (~0.8 GS/s) — the bottleneck is not the angle: at
+    c=512 the deemphasis DF1 runs on cs=4 half-vreg rows and the
+    discriminator prologue is sub-chunked 8 rows at a time, so the
+    kernel is latency/overhead-bound regardless of the angle's op
+    count.  Earlier claims that the fast-angle variant beats the
+    composed path came from min-selected iteration differences
+    (retracted — see profiling.measure_rate and ROADMAP round 4).
+    This kernel remains the memory-optimal form for streaming
+    deployments where the full-rate dphi plane must not touch HBM;
+    for single-chip throughput use the composed path.
     ``time_chunk`` REQUESTS 1024; `_pick_time_chunk` VMEM-clamps (at
     c=512 the effective chunk is 512).
 
