@@ -119,8 +119,18 @@ def main(argv=None):
 
         row = Row(name)
 
+        # Auto-scale the iteration gap so the differenced signal is
+        # >= ~100 ms of kernel time: the tunnel's READBACK itself
+        # varies by tens of ms run-to-run, so a fixed small gap leaves
+        # sub-ms kernels with signal ~ jitter (the round-4 bimodality
+        # probe showed the channelizer's wild spreads were exactly
+        # this, not the chip).
+        est = max((timed(12) - timed(2)) / 10.0, 1e-6)
+        gap = max(4 * iters, int(0.1 / est) + 1)
+        gap = min(gap, 2000)
+
         def one_trial():
-            # Single difference over a 4x-iters gap; the published
+            # Single difference over the auto-scaled gap; the published
             # statistic is the MEDIAN across trials (Row.line), which
             # is robust to the tunnel's multi-10-ms readback jitter.
             # Do NOT min-select legs or trials: min-of-differences
@@ -131,8 +141,8 @@ def main(argv=None):
             # failed measurement — retry, never record a bogus rate.
             for _attempt in range(3):
                 d1 = timed(iters)
-                d2 = timed(5 * iters)
-                dt = (d2 - d1) / (4 * iters)
+                d2 = timed(iters + gap)
+                dt = (d2 - d1) / gap
                 if dt > 0:
                     row.rates.append(samples / dt)
                     return

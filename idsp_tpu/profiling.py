@@ -99,7 +99,7 @@ def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5,
     return BenchResult(name=name, samples=samples * iters, seconds=dt)
 
 
-def measure_rate(step, state, *args, samples: int, iters=(10, 110),
+def measure_rate(step, state, *args, samples: int, iters=None,
                  trials: int = 6, stateful: bool = True):
     """Robust chained-dispatch throughput: MEDIAN of iteration
     differences.
@@ -115,7 +115,10 @@ def measure_rate(step, state, *args, samples: int, iters=(10, 110),
     min-selection keeps exactly those lucky pairings — observed up to
     a bogus 156 GS/s for a kernel whose issue roofline is 15 GS/s.
     Use a k2 - k1 gap large enough that the expected kernel time over
-    the gap dwarfs the ~30-60 ms readback jitter.
+    the gap dwarfs the ~30-60 ms readback jitter; the default
+    ``iters=None`` auto-scales the gap to >= ~100 ms of estimated
+    kernel time (the readback itself varies by tens of ms, so a fixed
+    small gap leaves sub-ms kernels with signal ~ jitter).
 
     ``step(state, *args)`` must return the new state first (or the
     value itself when ``stateful=False``).  Returns
@@ -125,9 +128,10 @@ def measure_rate(step, state, *args, samples: int, iters=(10, 110),
     """
     import statistics
 
-    k1, k2 = iters
-    if k2 <= k1:
-        raise ValueError(f"iters gap must be positive, got {iters}")
+    if iters is not None:
+        k1, k2 = iters
+        if k2 <= k1:
+            raise ValueError(f"iters gap must be positive, got {iters}")
     out = step(state, *args)
     sync(out)
 
@@ -141,6 +145,10 @@ def measure_rate(step, state, *args, samples: int, iters=(10, 110),
         sync(res)
         return time.perf_counter() - t0
 
+    if iters is None:
+        est = max((timed(12) - timed(2)) / 10.0, 1e-6)
+        k1 = 10
+        k2 = k1 + min(max(40, int(0.1 / est) + 1), 2000)
     diffs = []
     for _ in range(trials):
         d1 = timed(k1)
