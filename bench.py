@@ -317,37 +317,17 @@ def main():
             run = None
     assert run is not None
 
-    # Iteration differencing: time n1 and n2 chained dispatches and use
-    # the difference — the fixed dispatch+readback overhead of the axon
-    # tunnel (~30-120 ms depending on sync style) cancels exactly,
-    # which a separately-measured "round trip" subtraction does not.
-    def timed(iters):
-        t0 = time.perf_counter()
-        s = state
-        for _ in range(iters):
-            s, (zi, zq) = run(s, x)
-        _ = float(jnp.sum(zi)) + float(jnp.sum(zq))
-        return time.perf_counter() - t0
-
-    # MEDIAN of iteration differences over a wide gap (round-4 fix):
+    # Median of wide-gap iteration differences (round-4 statistic:
     # the tunnel's readback jitter is the same order as a handful of
-    # dispatches, and taking the MINIMUM difference (the old
-    # discipline) keeps exactly the pairings where a jitter spike
-    # landed in the short leg — observed overstating a 15 GS/s-
-    # roofline kernel as 156 GS/s.  See profiling.measure_rate (same
-    # statistic; inlined here because `timed` pins the mode closure).
-    import statistics
+    # dispatches, and min-selecting differences keeps exactly the
+    # jitter-lucky pairings — see profiling.measure_rate, the single
+    # shared implementation).
+    from idsp_tpu.profiling import measure_rate
 
-    n1, n2 = 10, 110
-    diffs = []
-    for _trial in range(8):
-        d1 = timed(n1)
-        d2 = timed(n2)
-        dt = (d2 - d1) / (n2 - n1)
-        if dt > 0:
-            diffs.append(dt)
-    assert diffs, "no valid timing trial (dispatch jitter)"
-    rate = c * t / statistics.median(diffs)
+    sec, _diffs = measure_rate(
+        run, state, x, samples=c * t, iters=(10, 110), trials=8
+    )
+    rate = c * t / sec
     baseline = 1e9
     print(
         json.dumps(

@@ -22,9 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import sys
-import time
 
 import numpy as np
 
@@ -37,37 +35,19 @@ MD_PATH = os.path.join(HERE, "ROOFLINE.md")
 
 
 def _measure(fn, *args, iters=8, trials=6, sync=None):
-    """Seconds per dispatch: MEDIAN of iteration differences.
+    """Seconds per dispatch via the shared round-4 statistic
+    (`idsp_tpu.profiling.measure_rate`): median of iteration
+    differences over an auto-scaled >= ~100 ms gap.  The probes here
+    are stateless (same args each call), so the state thread is a
+    dummy."""
+    del iters, sync  # measure_rate auto-scales and owns the fence
+    from idsp_tpu.profiling import measure_rate
 
-    ``iters`` auto-scales so the differenced gap is >= ~100 ms — the
-    tunnel's multi-10-ms readback jitter otherwise dominates sub-ms
-    kernels and fabricates rates in either direction.  The median
-    (not the min — round-4 fix, see profiling.measure_rate) keeps a
-    jitter spike in the short leg from overstating the rate."""
-    out = fn(*args)
-    sync(out)
-    def timed(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            out = fn(*args)
-        sync(out)
-        return time.perf_counter() - t0
-    # rough per-dispatch COMPUTE time (difference cancels the fixed
-    # dispatch+readback round trip, which is ~30-60 ms on the tunnel)
-    est = max((timed(10) - timed(2)) / 8.0, 1e-6)
-    iters = max(iters, int(0.05 / est) + 1)
-    iters = min(iters, 3000)
-    diffs = []
-    for _ in range(trials):
-        for _attempt in range(3):
-            d1 = timed(iters)
-            d2 = timed(3 * iters)
-            dt = (d2 - d1) / (2 * iters)
-            if dt > 0:
-                diffs.append(dt)
-                break
-    assert diffs
-    return statistics.median(diffs)
+    sec, _diffs = measure_rate(
+        lambda _s: fn(*args), None, samples=1, trials=trials,
+        stateful=False,
+    )
+    return sec
 
 
 #: Pallas probe geometry: each grid step keeps a (PROBE_ROWS, 128)

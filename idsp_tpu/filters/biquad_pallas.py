@@ -57,6 +57,22 @@ def _mul_i32_i32_to_i64(a, x):
     return hi, lo
 
 
+def as_vma(vma):
+    """Normalize a varying-manual-axes argument to frozenset | None.
+
+    Rejects a bare string: frozenset("dp") would silently become the
+    per-character axis set {'d', 'p'} and fail far from the call site.
+    """
+    if vma is None:
+        return None
+    if isinstance(vma, str):
+        raise TypeError(
+            f"vma must be an iterable of axis NAMES, got the string"
+            f" {vma!r} (pass e.g. {{'{vma}'}})"
+        )
+    return frozenset(vma)
+
+
 def _add_i64(a, b):
     """(hi, lo) + (hi, lo) with carry."""
     ahi, alo = a

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .biquad_pallas import _bank_call, _seq_bank_kernel
+from .biquad_pallas import _bank_call, _seq_bank_kernel, as_vma
 from .cic import CicState, _comb_chain
 
 
@@ -97,7 +97,7 @@ def cic_dec_bank(state: CicState, x, rate: int, *, time_chunk: int = 512,
     assert n > 0, "kernel path needs at least one integrator stage"
     return _cic_dec_impl(state, x, rate, n, time_chunk=time_chunk,
                          unroll=unroll, interpret=interpret,
-                         vma=None if vma is None else frozenset(vma))
+                         vma=as_vma(vma))
 
 
 @functools.partial(
@@ -143,4 +143,4 @@ def cic_int_bank(state: CicState, x, rate: int, *, time_chunk: int = 512,
     assert n > 0, "kernel path needs at least one integrator stage"
     return _cic_int_impl(state, x, rate, n, time_chunk=time_chunk,
                          unroll=unroll, interpret=interpret,
-                         vma=None if vma is None else frozenset(vma))
+                         vma=as_vma(vma))

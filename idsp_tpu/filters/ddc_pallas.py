@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import trig
 from ..ops import fastlo as _fastlo
 from .biquad import Df1State
-from .biquad_pallas import _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32
+from .biquad_pallas import (
+    _mac5_q, _mul_i32_i32_to_i64, _shr_i64_to_i32, as_vma,
+)
 
 
 def ddc_mix_df1_bank(ba, state: Df1State, phase0, steps, x, f: int = 29, *,
@@ -417,6 +419,13 @@ def atan2_f32_word(y, x):
     3.4e-7 rad (poly) + input rounding; worst case ~240 LSB of the i32
     word — use where the documented reference error bounds (not bit
     equality) are the acceptance gate.
+
+    Domain caveats (fine for the FM conjugate-product call site, which
+    feeds O(2^54)-magnitude products): the 1e-38 divide guard makes
+    inputs with max(|x|, |y|) below ~1e-38 return 0 rad regardless of
+    quadrant, and -0.0 is treated as +0.0 (atan2(-0.0, x<0) -> +pi).
+    Callers with tiny-magnitude or signed-zero inputs need the exact
+    `atan2_i32`/`ops.trig.atan2` instead.
     """
     f32 = jnp.float32
     ax = jnp.abs(x)
@@ -804,7 +813,7 @@ def df1_hbf_cascade_bank(ba, state: Df1State, tails, xs, f: int = 29, *,
     return _df1_hbf_cascade_impl(
         _ba_static(ba), _taps_static(taps), state, tuple(tails), xs, f,
         time_chunk=time_chunk, unroll=unroll, interpret=interpret,
-        vma=None if vma is None else frozenset(vma),
+        vma=as_vma(vma),
     )
 
 

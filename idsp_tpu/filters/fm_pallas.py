@@ -79,6 +79,17 @@ def _disc_rows_fast(a_re, a_im, b_re, b_im, carrier: int):
     return atan2_f32_word(z_im, z_re) - jnp.int32(carrier)
 
 
+def fm_effective_time_chunk(c: int, t: int, requested: int, *,
+                            unroll: int = 4, trig_sub: int = 8) -> int:
+    """The post-VMEM-clamp time chunk `fm_disc_bank` will actually run
+    with — the single source of truth for the kernel's VMEM budget
+    (probes print this instead of re-deriving the formula; ADVICE r3:
+    a silently clamped request can alias sweep configs)."""
+    vmem_cap = max(8, (10 * 2**20) // (24 * c))
+    return _pick_time_chunk(t, vmem_cap, unroll, 1, requested,
+                            max(trig_sub, 1))
+
+
 def fm_disc_bank(ba, state, re, im, carrier: int, f: int = 30, *,
                  time_chunk: int = 1024, unroll: int = 4,
                  trig_sub: int = 8, angle: str = "exact",
@@ -156,15 +167,21 @@ def fm_disc_bank(ba, state, re, im, carrier: int, f: int = 30, *,
 def _fm_disc_bank_impl(ba_static, carrier, f, st_in, re, im, *,
                        time_chunk, unroll, trig_sub, angle="exact",
                        interpret):
+    if angle not in ("exact", "fast"):
+        # never silently demote the documented bit-exact path
+        raise ValueError(
+            f"angle must be 'exact' or 'fast', got {angle!r}"
+        )
     disc = _disc_rows if angle == "exact" else _disc_rows_fast
     t, c = re.shape
     assert c % 128 == 0
     cs = c // 128
     # in (2cs) + out (cs) double-buffered + dphi scratch (cs) + trig
-    # temporaries: budget like the fused cascades
-    vmem_cap = max(8, (10 * 2**20) // (24 * c))
-    time_chunk = _pick_time_chunk(t, vmem_cap, unroll, 1, time_chunk,
-                                  max(trig_sub, 1))
+    # temporaries: budget like the fused cascades (single source of
+    # truth shared with the probes — `fm_effective_time_chunk`)
+    time_chunk = fm_effective_time_chunk(
+        c, t, time_chunk, unroll=unroll, trig_sub=trig_sub
+    )
     tc = time_chunk
     grid = (t // tc,)
 

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .biquad_pallas import _pick_time_chunk
+from .biquad_pallas import _pick_time_chunk, as_vma
 from .ddc_pallas import _fir_even
 from .hbf import HbfDecState, HbfIntState
 
@@ -74,7 +74,7 @@ def hbf_dec_cascade_bank(states, xs, *, taps=None, time_chunk: int = 512,
     new_tails, y = _hbf_dec_cascade_impl(
         _taps_key(states, stage_taps), tails, xs,
         time_chunk=time_chunk, interpret=interpret,
-        vma=None if vma is None else frozenset(vma),
+        vma=as_vma(vma),
     )
     outs = []
     for tl, tv in zip(new_tails, stage_taps):
@@ -232,7 +232,7 @@ def hbf_int_cascade_bank(states, xs, *, taps=None, time_chunk: int = 128,
     new_tails, y = _hbf_int_cascade_impl(
         _taps_key(states, stage_taps), tails, xs,
         time_chunk=time_chunk, interpret=interpret,
-        vma=None if vma is None else frozenset(vma),
+        vma=as_vma(vma),
     )
     return tuple(HbfIntState(x=tl) for tl in new_tails), y
 

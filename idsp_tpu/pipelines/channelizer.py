@@ -79,11 +79,13 @@ def channelize_planes(state: PlanesState, zr, zi, proto=None, *,
       zr, zi: (..., n, m) I/Q planes of the frame stream (m polyphase
         branches on the lane axis).
       dft: "matmul" (four real (n,m)x(m,m) MXU matmuls) or "fft".
-      twiddle_dtype: DFT matrix storage for the matmul path.  f32 is
-        exact-summation; bf16 halves MXU time at ~2^-8 relative
-        twiddle rounding — fine for the reference's >=10x bin-power
-        gate (polyphase_channelizer.rs:166-178), opt-in for quality
-        reasons.
+      twiddle_dtype: matmul-path precision.  f32 keeps both operands
+        f32; bf16 rounds the DFT matrix AND the FIR-accumulated data
+        planes to bf16 (the matmul only hits the bf16 MXU rate when
+        both inputs are bf16), i.e. ~2^-8 relative error on each —
+        fine for the reference's >=10x bin-power gate
+        (polyphase_channelizer.rs:166-178) but NOT for
+        high-dynamic-range bins; opt-in for that reason.
 
     Returns (state, yr, yi) with y planes shaped like the inputs.
     The math matches `channelize` exactly (same FIR order, same

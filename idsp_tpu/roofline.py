@@ -433,8 +433,23 @@ def model_time(counts: OpCounts, peaks: dict, hbm_bytes: float = 0.0
         tt = ops / rate
         by_cat[cat] = tt
         t_vpu = max(t_vpu, tt)
-    t_mxu = counts.mxu_flops / peaks["mxu"] if counts.mxu_flops else 0.0
-    t_hbm = hbm_bytes / peaks["hbm"] if hbm_bytes else 0.0
+    t_mxu = 0.0
+    if counts.mxu_flops:
+        mxu = peaks.get("mxu")
+        if not mxu:
+            raise ValueError(
+                "counted MXU FLOPs but the peaks dict has no 'mxu'"
+                " rate — re-run the peak probes (benches/roofline.py)"
+            )
+        t_mxu = counts.mxu_flops / mxu
+    t_hbm = 0.0
+    if hbm_bytes:
+        hbm = peaks.get("hbm")
+        if not hbm:
+            raise ValueError(
+                "hbm_bytes given but the peaks dict has no 'hbm' rate"
+            )
+        t_hbm = hbm_bytes / hbm
     return {
         "vpu": t_vpu,
         "mxu": t_mxu,

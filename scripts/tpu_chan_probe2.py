@@ -52,6 +52,10 @@ def main():
             d2 = timed(110)
             if d2 > d1:
                 diffs.append((d2 - d1) / 100)
+        if not diffs:
+            print(f"{name:34s} no positive difference (jitter)",
+                  flush=True)
+            return
         med = statistics.median(diffs)
         sp = (max(diffs) - min(diffs)) / med * 100
         print(f"{name:34s} {med*1e6:9.1f} us  "

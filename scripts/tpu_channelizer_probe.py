@@ -37,16 +37,21 @@ def main():
             sync(out)
             return time.perf_counter() - t0
 
+        # median of wide-gap differences (round-4 discipline: NEVER
+        # min-select — see profiling.measure_rate / CLAUDE.md)
+        import statistics
+
         est = max((timed(10) - timed(2)) / 8.0, 1e-6)
-        it = min(max(iters, int(0.05 / est) + 1), 3000)
-        best = float("inf")
+        it = min(max(iters, int(0.1 / est) + 1), 2000)
+        diffs = []
         for _ in range(6):
-            d1 = min(timed(it), timed(it))
-            d2 = min(timed(3 * it), timed(3 * it))
-            dt = (d2 - d1) / (2 * it)
-            if dt > 0:
-                best = min(best, dt)
-        return best
+            d1 = timed(10)
+            d2 = timed(10 + it)
+            if d2 > d1:
+                diffs.append((d2 - d1) / it)
+        if not diffs:
+            return float("nan")
+        return statistics.median(diffs)
 
     w = chz._dft_matrix(m)
     wr = jnp.asarray(np.real(w).astype(np.float32))

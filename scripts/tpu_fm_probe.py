@@ -69,7 +69,7 @@ def main():
         jax.jit(lambda st, r, i: fm_disc.fm_receiver(
             st, r, i, jnp.int32(12345), ba_j)),
     )
-    from idsp_tpu.filters.biquad_pallas import _pick_time_chunk
+    from idsp_tpu.filters.fm_pallas import fm_effective_time_chunk
 
     t_len, c_len = 32768, 512  # matches the fixture above
     for tc in (256, 512, 1024):
@@ -77,9 +77,9 @@ def main():
             if ts > tc:
                 continue
             # the EFFECTIVE chunk after the VMEM clamp (ADVICE r3:
-            # requested tc can silently alias configs)
-            cap = max(8, (10 * 2**20) // (24 * c_len))
-            eff = _pick_time_chunk(t_len, cap, 4, 1, tc, max(ts, 1))
+            # requested tc can silently alias configs) — from the
+            # kernel module's own budget, never re-derived
+            eff = fm_effective_time_chunk(c_len, t_len, tc, trig_sub=ts)
             bench(
                 f"one kernel tc={tc}(eff={eff}) trig_sub={ts}",
                 lambda st, r, i, tc=tc, ts=ts: fm_disc_bank(

@@ -36,6 +36,8 @@ def main():
     def print(*args, **kw):  # noqa: A001 — deliberate local shadow
         _print(*args, **kw)
         line = " ".join(str(a) for a in args)
+        if line.startswith(("ALL ", "FAILURES")):
+            return  # summary lines are not per-kernel checks
         for status in ("MISMATCH", "FAILED", "OK"):
             i = line.find(status)
             if i > 0:
