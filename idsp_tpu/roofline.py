@@ -311,7 +311,24 @@ def _count_jaxpr(jx, counts: OpCounts, scale: float):
             counts.select += n
             continue
         if name in _CONVERT:
-            counts.convert += n
+            # same-width integer converts (i32<->u32, the emulated-limb
+            # code's _as_u32/_as_i32) and explicit bitcasts are
+            # bit-pattern reinterprets — free on TPU, counted as moves
+            # so the issue bound isn't inflated (the whole-stack kernel
+            # measured >100% of the round-4 model before this).
+            free = name == "bitcast_convert_type"
+            if not free:
+                try:
+                    di = eqn.invars[0].aval.dtype
+                    do = eqn.outvars[0].aval.dtype
+                    free = (di.kind in "iu" and do.kind in "iu"
+                            and di.itemsize == do.itemsize)
+                except Exception:  # noqa: BLE001 — abstract tokens
+                    free = False
+            if free:
+                counts.move_elems += n
+            else:
+                counts.convert += n
             continue
         if name in _DIV:
             counts.div += n
