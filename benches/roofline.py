@@ -410,6 +410,28 @@ def flagship_configs(jnp):
 
     yield ("cic dec N=3 R=16 (1 kernel)", cicd, (cic_st, xcic), t * c)
 
+    # Production-block-size variants (ROADMAP r5 candidate 8): the
+    # t=32768 HBF/CIC dispatches are ~0.6-2.8 ms, so the ~100 us
+    # dispatch floor is a visible fraction of their achieved-%; a 4x
+    # block shows the sustained rate the streaming runtime sees.
+    tb4 = 4 * t
+    xf4 = jnp.asarray(rng.normal(size=(tb4, 2 * c)).astype(np.float32))
+
+    def hbf3_big(sts, xs):
+        return hbf_dec_cascade_bank(sts, xs, time_chunk=512)
+
+    yield ("hbf dec cascade x8 (t=131072)", hbf3_big,
+           (hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0), xf4),
+           tb4 * 2 * c)
+
+    xcic4 = ri32((tb4, c), lim=2**16)
+
+    def cicd_big(st, xs):
+        return cic_dec_bank(st, xs, 15, time_chunk=512)
+
+    yield ("cic dec N=3 R=16 (t=131072)", cicd_big,
+           (cic.init(3, 1, (c,), dtype=jnp.int32), xcic4), tb4 * c)
+
     # channelizer M=1024 (both DFT modes); 1024 frames/dispatch — the
     # ~100 us dispatch floor dominates smaller batches (see
     # scripts/tpu_channelizer_probe.py)
