@@ -324,9 +324,10 @@ def main():
     # shared implementation).
     from idsp_tpu.profiling import measure_rate
 
-    sec, _diffs = measure_rate(
-        run, state, x, samples=c * t, iters=(10, 110), trials=8
-    )
+    # iters=None auto-scales the gap to >= ~100 ms of kernel time —
+    # a fixed 100-iteration gap leaves sub-ms dispatches with signal
+    # on the order of the 30-60 ms readback jitter (ADVICE r4).
+    sec, _diffs = measure_rate(run, state, x, iters=None, trials=8)
     rate = c * t / sec
     baseline = 1e9
     print(

@@ -44,8 +44,7 @@ def _measure(fn, *args, iters=8, trials=6, sync=None):
     from idsp_tpu.profiling import measure_rate
 
     sec, _diffs = measure_rate(
-        lambda _s: fn(*args), None, samples=1, trials=trials,
-        stateful=False,
+        lambda _s: fn(*args), None, trials=trials, stateful=False,
     )
     return sec
 
@@ -312,6 +311,47 @@ def measure_peaks(jnp, jax, sync):
     return peaks
 
 
+#: One-line cause for every config that measures under 50% of its
+#: modeled bound (VERDICT r4 #1: "every config under 50% of its bound
+#: has a one-line cause in the table").  Keyed by config name so
+#: regeneration preserves them; update when the measurement moves.
+CAUSES = {
+    "ddc chain fastlo_fused (1 kernel) [c=512, t=32768]":
+        "recurrence latency at cs=8 sub-banks (bsplit negative result,"
+        " ROADMAP r4); wider banks reach ~80%",
+    "df1_bank_q i32 [lanes=1024, t=32768]":
+        "5-MAC limb recurrence latency; issue-bound only at cs>=16",
+    "hbf dec cascade x8 (1 kernel) [lanes=1024, t=32768]":
+        "~100us dispatch floor + per-stage VMEM repack; see t=131072"
+        " sustained row",
+    "fm receiver (composed) [c=512, t=32768]":
+        "decimated DF1 stages run at 1/4 and 1/16 rate on thin blocks",
+    "fm receiver (one kernel) [c=512, t=32768]":
+        "c=512 I/Q-packed puts the in-kernel DF1 on half-vreg rows;"
+        " sub-chunked discriminator prologue dominates (NOT"
+        " compute-bound — 1024-ch whole stack hits ~80%)",
+    "fm receiver (1 kernel, fast atan) [c=512, t=32768]":
+        "same half-vreg layout; the cheap angle exposes the layout"
+        " cost even more",
+    "cic dec N=3 R=16 (1 kernel) [c=512, t=32768]":
+        "~100us dispatch floor on a ~0.6ms dispatch; see t=131072"
+        " sustained row",
+    "hbf dec cascade x8 (1 kernel) [lanes=1024, t=131072]":
+        "per-stage VMEM repack between cascade stages",
+    "cic dec N=3 R=16 (1 kernel) [c=512, t=131072]":
+        "integrator recurrence latency across 512-sample chunks",
+    "channelizer m=1024 (matmul) [frames=1024]":
+        "interleaved (m,2) complex layout pads TPU tiles 64x",
+    "channelizer m=1024 (fft) [frames=1024]":
+        "XLA TPU FFT lowers to gather-heavy stages",
+    "channelizer m=1024 (planes) [frames=1024]":
+        "FIR/concat elementwise traffic between HBM round trips"
+        " before the DFT matmul",
+    "channelizer m=1024 (planes bf16) [frames=1024]":
+        "same FIR/concat traffic; bf16 only shrinks the matmul",
+}
+
+
 # --- flagship configs ----------------------------------------------------------
 
 
@@ -355,7 +395,7 @@ def flagship_configs(jnp):
         return fastlo_ddc_cascade_bank(
             ba_q, st, tls, ph, steps, x, 29, time_chunk=128, unroll=4)
 
-    yield ("ddc chain fastlo_fused (1 kernel)", headline,
+    yield ("ddc chain fastlo_fused (1 kernel) [c=512, t=32768]", headline,
            (st0, tails3, ph0, x1), t * c)
 
     xs2 = ri32((t, 2 * c))
@@ -363,7 +403,7 @@ def flagship_configs(jnp):
     def df1(st, xs):
         return df1_bank_q(ba_q, st, xs, 29, time_chunk=512)
 
-    yield ("df1_bank_q i32", df1, (st0, xs2), t * 2 * c)
+    yield ("df1_bank_q i32 [lanes=1024, t=32768]", df1, (st0, xs2), t * 2 * c)
 
     xf = jnp.asarray(rng.normal(size=(t, 2 * c)).astype(np.float32))
     hbf_states = hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0)
@@ -371,7 +411,7 @@ def flagship_configs(jnp):
     def hbf3(sts, xs):
         return hbf_dec_cascade_bank(sts, xs, time_chunk=512)
 
-    yield ("hbf dec cascade x8 (1 kernel)", hbf3, (hbf_states, xf),
+    yield ("hbf dec cascade x8 (1 kernel) [lanes=1024, t=32768]", hbf3, (hbf_states, xf),
            t * 2 * c)
 
     # FM receiver: composed vs one-kernel (VERDICT r3 weak #2 diagnosis)
@@ -385,7 +425,7 @@ def flagship_configs(jnp):
     def fm_composed(st, re, im):
         return fm_disc.fm_receiver(st, re, im, carrier, ba30, 30)
 
-    yield ("fm receiver (composed)", fm_composed, (fm_st, xre, xim),
+    yield ("fm receiver (composed) [c=512, t=32768]", fm_composed, (fm_st, xre, xim),
            t * c)
 
     from idsp_tpu.filters.fm_pallas import fm_disc_bank
@@ -393,12 +433,12 @@ def flagship_configs(jnp):
     def fm_one(st, re, im):
         return fm_disc_bank(ba30, st, re, im, carrier, 30)
 
-    yield ("fm receiver (one kernel)", fm_one, (fm_st, xre, xim), t * c)
+    yield ("fm receiver (one kernel) [c=512, t=32768]", fm_one, (fm_st, xre, xim), t * c)
 
     def fm_fast(st, re, im):
         return fm_disc_bank(ba30, st, re, im, carrier, 30, angle="fast")
 
-    yield ("fm receiver (1 kernel, fast atan)", fm_fast,
+    yield ("fm receiver (1 kernel, fast atan) [c=512, t=32768]", fm_fast,
            (fm_st, xre, xim), t * c)
 
     # CIC decimator N=3 R=16
@@ -408,7 +448,7 @@ def flagship_configs(jnp):
     def cicd(st, xs):
         return cic_dec_bank(st, xs, 15, time_chunk=512)
 
-    yield ("cic dec N=3 R=16 (1 kernel)", cicd, (cic_st, xcic), t * c)
+    yield ("cic dec N=3 R=16 (1 kernel) [c=512, t=32768]", cicd, (cic_st, xcic), t * c)
 
     # Production-block-size variants (ROADMAP r5 candidate 8): the
     # t=32768 HBF/CIC dispatches are ~0.6-2.8 ms, so the ~100 us
@@ -420,7 +460,7 @@ def flagship_configs(jnp):
     def hbf3_big(sts, xs):
         return hbf_dec_cascade_bank(sts, xs, time_chunk=512)
 
-    yield ("hbf dec cascade x8 (t=131072)", hbf3_big,
+    yield ("hbf dec cascade x8 (1 kernel) [lanes=1024, t=131072]", hbf3_big,
            (hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0), xf4),
            tb4 * 2 * c)
 
@@ -429,7 +469,7 @@ def flagship_configs(jnp):
     def cicd_big(st, xs):
         return cic_dec_bank(st, xs, 15, time_chunk=512)
 
-    yield ("cic dec N=3 R=16 (t=131072)", cicd_big,
+    yield ("cic dec N=3 R=16 (1 kernel) [c=512, t=131072]", cicd_big,
            (cic.init(3, 1, (c,), dtype=jnp.int32), xcic4), tb4 * c)
 
     # channelizer M=1024 (both DFT modes); 1024 frames/dispatch — the
@@ -446,8 +486,8 @@ def flagship_configs(jnp):
     def chan_fft(st, xs):
         return channelizer.channelize(st, xs, m=m, taps=4, dft="fft")
 
-    yield ("channelizer m=1024 (matmul)", chan_mm, (ch_st, xch), nfr * m)
-    yield ("channelizer m=1024 (fft)", chan_fft, (ch_st, xch), nfr * m)
+    yield ("channelizer m=1024 (matmul) [frames=1024]", chan_mm, (ch_st, xch), nfr * m)
+    yield ("channelizer m=1024 (fft) [frames=1024]", chan_fft, (ch_st, xch), nfr * m)
 
     zr_pl = jnp.asarray(rng.normal(size=(nfr, m)).astype(np.float32))
     zi_pl = jnp.asarray(rng.normal(size=(nfr, m)).astype(np.float32))
@@ -460,9 +500,9 @@ def flagship_configs(jnp):
         return channelizer.channelize_planes(
             st, a, b, m=m, taps=4, twiddle_dtype=jnp.bfloat16)
 
-    yield ("channelizer m=1024 (planes)", chan_planes,
+    yield ("channelizer m=1024 (planes) [frames=1024]", chan_planes,
            (pst, zr_pl, zi_pl), nfr * m)
-    yield ("channelizer m=1024 (planes bf16)", chan_planes_bf16,
+    yield ("channelizer m=1024 (planes bf16) [frames=1024]", chan_planes_bf16,
            (pst, zr_pl, zi_pl), nfr * m)
 
     # 1024-channel whole-stack DDC bank (BASELINE #5 class)
@@ -482,7 +522,7 @@ def flagship_configs(jnp):
             st, x, steps_b, ba_qt, pll_ba, decimate=d,
             lo_mode="one_kernel")
 
-    yield ("1024-ch ddc bank whole stack", whole_stack, (stb, xb),
+    yield ("1024-ch ddc bank whole stack [t=16384]", whole_stack, (stb, xb),
            tb * cb)
 
 
@@ -495,6 +535,11 @@ def main(argv=None):
                     help="offline: re-trace counts on CPU, reuse the "
                          "stored peaks AND achieved rates from "
                          "ROOFLINE.json, rewrite the artifacts")
+    ap.add_argument("--reuse-peaks", action="store_true",
+                    help="reuse ROOFLINE_PEAKS.json but MEASURE the "
+                         "flagship configs on-device (skips the ~15 "
+                         "peak probes; peaks and configs must come "
+                         "from the same device)")
     ap.add_argument("--only", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -519,8 +564,15 @@ def main(argv=None):
         peaks = old["peaks"]
         prior_ach = {r["name"]: r.get("achieved_gs")
                      for r in old["configs"]}
-    elif args.skip_measure and os.path.exists(PEAKS_PATH):
-        peaks = json.load(open(PEAKS_PATH))["peaks"]
+    elif (args.skip_measure or args.reuse_peaks) and os.path.exists(
+            PEAKS_PATH):
+        stored = json.load(open(PEAKS_PATH))
+        peaks = stored["peaks"]
+        if args.reuse_peaks and stored.get("device") != device:
+            raise SystemExit(
+                f"--reuse-peaks: stored peaks are for "
+                f"{stored.get('device')!r} but this device is "
+                f"{device!r} — re-probe")
     else:
         peaks = measure_peaks(jnp, jax, sync)
         with open(PEAKS_PATH, "w") as fh:
@@ -637,24 +689,34 @@ def write_md(device, peaks, results):
         "ops/S = per full-rate input sample x channel.",
         "",
         "| config | VPU ops/S | MXU F/S | IO B/S | bound |"
-        " limit GS/s | achieved GS/s | % of peak |",
-        "|---|---|---|---|---|---|---|---|",
+        " limit GS/s | achieved GS/s | % of peak | cause if <50% |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
+    missing_cause = []
     for r in results:
         ach = ("—" if r["achieved_gs"] is None
                else f"{r['achieved_gs']:.2f}")
         pct = ("—" if r["pct_of_peak"] is None
                else f"{r['pct_of_peak']:.0f}%")
+        cause = ""
+        if r["pct_of_peak"] is not None and r["pct_of_peak"] < 50.0:
+            cause = CAUSES.get(r["name"], "")
+            if not cause:
+                missing_cause.append(r["name"])
+                cause = "(unannotated — add to benches/roofline.CAUSES)"
         lines.append(
             f"| {r['name']} | {r['vpu_ops_per_sample']:.1f} "
             f"| {r['mxu_flops_per_sample']:.0f} "
             f"| {r['io_bytes_per_sample']:.1f} | {r['bound']} "
-            f"| {r['limit_gs']:.2f} | {ach} | {pct} |")
+            f"| {r['limit_gs']:.2f} | {ach} | {pct} | {cause} |")
     lines += [
         "",
         "Per-category ops/S detail lives in `ROOFLINE.json`.",
         "",
     ]
+    if missing_cause:
+        print(f"# WARNING: configs under 50% without a cause "
+              f"annotation: {missing_cause}", flush=True)
     with open(MD_PATH, "w") as fh:
         fh.write("\n".join(lines))
 

@@ -1011,6 +1011,13 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "brackets).  Fixed dispatch+readback round trip"
         f" ({rt * 1e3:.1f} ms) measured and subtracted.",
         "",
+        f"Every row runs the canonical {c}x{t} config unless its name",
+        "or baseline note states otherwise (channelizer rows: 1024",
+        "frames x m=1024; `ddc bank 1024ch` rows: 1024 channels x",
+        "16384 samples).  Rates at OTHER configs (e.g. the",
+        "lanes=1024 rows in benches/ROOFLINE.md) are distinct",
+        "measurements and carry the config in their name.",
+        "",
         f"Hardware: {dev}.",
         "",
         "| Config | median | spread | Reference baseline (BASELINE.md) |",

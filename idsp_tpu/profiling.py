@@ -99,7 +99,7 @@ def bench_stateful(name: str, fn, state, *args, samples: int, iters: int = 5,
     return BenchResult(name=name, samples=samples * iters, seconds=dt)
 
 
-def measure_rate(step, state, *args, samples: int, iters=None,
+def measure_rate(step, state, *args, iters=None,
                  trials: int = 6, stateful: bool = True):
     """Robust chained-dispatch throughput: MEDIAN of iteration
     differences.
@@ -122,14 +122,18 @@ def measure_rate(step, state, *args, samples: int, iters=None,
 
     ``step(state, *args)`` must return the new state first (or the
     value itself when ``stateful=False``).  Returns
-    ``(seconds_per_dispatch, diffs)`` with the per-trial differences
-    for spread reporting; seconds_per_dispatch is the median.  Raises
-    if no trial produced a positive difference.
+    ``(seconds_per_dispatch, diffs)`` with ALL per-trial differences
+    for spread reporting; seconds_per_dispatch is their median.
+    Non-positive differences are kept (censoring them would bias the
+    median upward exactly in the jitter-dominated regime this guards
+    against); raises only if the median itself is non-positive.
     """
     import statistics
 
     if iters is not None:
         k1, k2 = iters
+        if k1 < 1:
+            raise ValueError(f"need k1 >= 1 dispatch in the short leg, got {iters}")
         if k2 <= k1:
             raise ValueError(f"iters gap must be positive, got {iters}")
     out = step(state, *args)
@@ -153,15 +157,14 @@ def measure_rate(step, state, *args, samples: int, iters=None,
     for _ in range(trials):
         d1 = timed(k1)
         d2 = timed(k2)
-        dt = (d2 - d1) / (k2 - k1)
-        if dt > 0:
-            diffs.append(dt)
-    if not diffs:
+        diffs.append((d2 - d1) / (k2 - k1))
+    med = statistics.median(diffs)
+    if med <= 0:
         raise RuntimeError(
-            "no positive iteration difference (dispatch jitter exceeds"
-            f" the signal — raise the iteration gap {iters})"
+            "non-positive median iteration difference (dispatch jitter"
+            f" exceeds the signal — raise the gap; k1={k1} k2={k2})"
         )
-    return statistics.median(diffs), diffs
+    return med, diffs
 
 
 @contextlib.contextmanager

@@ -445,8 +445,16 @@ def model_time(counts: OpCounts, peaks: dict, hbm_bytes: float = 0.0
     for cat in PER_UNIT_CATEGORIES:
         ops = getattr(counts, cat)
         rate = peaks.get(cat)
-        if not ops or not rate:
+        if not ops:
             continue
+        if not rate:
+            # A stale peaks file must not silently LOOSEN the bound
+            # (the mxu/hbm branches below already raise) — ADVICE r4.
+            raise ValueError(
+                f"counted {ops} '{cat}' ops but the peaks dict has no"
+                f" '{cat}' rate — re-run the peak probes"
+                " (benches/roofline.py --peaks)"
+            )
         tt = ops / rate
         by_cat[cat] = tt
         t_vpu = max(t_vpu, tt)

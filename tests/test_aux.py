@@ -82,12 +82,20 @@ def test_measure_rate_median_statistic():
 
     from idsp_tpu import profiling
 
-    step = jax.jit(lambda s, x: (s + jnp.sum(x), s))
+    import time as _time
+
+    # A deterministic ~0.5 ms per-dispatch cost: with ALL differences
+    # kept (no censoring — ADVICE r4), a microsecond-scale jitted step
+    # would leave the median at timing-noise scale.
+    def step(s, x):
+        _time.sleep(5e-4)
+        return (s + jnp.sum(x), s)
+
     dt, diffs = profiling.measure_rate(
         step, jnp.float32(0), jnp.ones((64, 64)),
-        samples=64 * 64, iters=(2, 12), trials=3,
+        iters=(2, 12), trials=3,
     )
-    assert dt > 0 and 1 <= len(diffs) <= 3
+    assert dt > 0 and len(diffs) == 3
     import statistics
 
     assert dt == statistics.median(diffs)
@@ -96,5 +104,11 @@ def test_measure_rate_median_statistic():
     with pytest.raises(ValueError):
         profiling.measure_rate(
             step, jnp.float32(0), jnp.ones((4,)),
-            samples=4, iters=(5, 5), trials=2,
+            iters=(5, 5), trials=2,
+        )
+    # ... and so must an empty short leg (timed(0) never runs the step)
+    with pytest.raises(ValueError):
+        profiling.measure_rate(
+            step, jnp.float32(0), jnp.ones((4,)),
+            iters=(0, 10), trials=2,
         )
