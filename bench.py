@@ -34,23 +34,28 @@ def main():
     from idsp_tpu.filters.biquad_pallas import df1_bank_q
     from idsp_tpu.ops.trig import cossin
 
-    c = 512  # channels
+    c = 512  # channels (canonical headline config, rounds 1-4)
+    c_wide = 1024  # production-width config: throughput scales with
+    #              bank width (r4: 512-ch at ~58% of its issue bound,
+    #              1024-ch whole stack at ~81% — VERDICT r4 #5)
     t = 32768  # full-rate samples per block per channel
     rng = np.random.default_rng(0)
 
     x = jnp.asarray(
         rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64).astype(np.int32)
     )
-    steps = jnp.asarray(
-        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64).astype(np.int32)
+    steps_all = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c_wide,), dtype=np.int64).astype(
+            np.int32)
     )
+    steps = steps_all[:c]
     ba_q = jnp.asarray(
         biquad.quantize_ba(
             biquad.from_cookbook(Filter().critical_frequency(0.02).lowpass()), 29
         )
     )
 
-    def make_chain(mode: str):
+    def make_chain(mode: str, c=c, steps=steps):
         def chain(state, x):
             bq_iq, dec_i, dec_q, phase0 = state
             if mode == "fastlo_fused":
@@ -226,7 +231,7 @@ def main():
 
         return jax.jit(chain)
 
-    def make_state(mode: str):
+    def make_state(mode: str, c=c):
         if mode in ("fold3", "fold3_fastlo", "fastlo_fused"):
             from idsp_tpu.filters.ddc_pallas import hbf1_tail_init
 
@@ -330,17 +335,36 @@ def main():
     sec, _diffs = measure_rate(run, state, x, iters=None, trials=8)
     rate = c * t / sec
     baseline = 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "biquad_hbf_ddc_chain_samples_per_s",
-                "value": rate,
-                "unit": "samples/s",
-                "vs_baseline": rate / baseline,
-                "mode": mode,
-            }
-        )
-    )
+
+    # Production-width config (VERDICT r4 #5): same chain at 1024
+    # channels.  Reported alongside the canonical 512-ch headline —
+    # rates are per-deployment, and the wide bank fills vregs.
+    rate_wide = None
+    try:
+        run_w = make_chain(mode, c=c_wide, steps=steps_all)
+        state_w = make_state(mode, c=c_wide)
+        s_w, (zi_w, _zq_w) = run_w(state_w, x)
+        _ = float(jnp.sum(zi_w))
+        sec_w, _ = measure_rate(run_w, state_w, x, iters=None, trials=8)
+        rate_wide = c_wide * t / sec_w
+    except Exception as e:  # noqa: BLE001 — same env-failure filter
+        if not _expected_fallback(e):
+            raise
+        print(f"# wide config (c={c_wide}) unavailable: "
+              f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+
+    rec = {
+        "metric": "biquad_hbf_ddc_chain_samples_per_s",
+        "value": rate,
+        "unit": "samples/s",
+        "vs_baseline": rate / baseline,
+        "mode": mode,
+        "channels": c,
+    }
+    if rate_wide is not None:
+        rec["c1024_samples_per_s"] = rate_wide
+        rec["c1024_vs_baseline"] = rate_wide / baseline
+    print(json.dumps(rec))
 
 
 def _main_with_retry():

@@ -166,7 +166,7 @@ def channelize(state: BankState, x, proto=None, *, m: int = 4, taps: int = 8,
 
 
 def channelize_tp(state: BankState, x_local, axis_name: str, *, m: int,
-                  taps: int = 8, proto=None):
+                  taps: int = 8, proto=None, out_mode: str = "replicated"):
     """Tensor-parallel channelizer: the DFT *contraction* axis (the
     polyphase branches k) sharded over the mesh.
 
@@ -181,9 +181,15 @@ def channelize_tp(state: BankState, x_local, axis_name: str, *, m: int,
       x_local: (..., n, m_loc, 2) — this device's branch slice of the
         (..., n, m, 2) frame stream.
 
-    Returns (state, y) with y REPLICATED (..., n, m, 2).  Matches
-    `channelize` up to float summation order (the psum reassociates the
-    k-sum across devices).
+    Returns (state, y).  ``out_mode="replicated"`` (default) psums the
+    partials so y is the full (..., n, m, 2) on every device;
+    ``out_mode="scatter"`` uses `psum_scatter` over the output-channel
+    axis instead, returning this device's (..., n, m/n_dev, 2) slice —
+    1/n_dev the collective bytes on the wire (reduce-scatter vs
+    all-reduce), the right choice when the consumer is itself
+    channel-sharded (VERDICT r4 #6).  Matches `channelize` up to float
+    summation order (the collective reassociates the k-sum across
+    devices).
     """
     import jax.numpy as _jnp
 
@@ -228,7 +234,15 @@ def channelize_tp(state: BankState, x_local, axis_name: str, *, m: int,
     yi = _jnp.einsum("...k,km->...m", zr, wi) + _jnp.einsum(
         "...k,km->...m", zi, wr
     )
-    y = jax.lax.psum(jnp.stack([yr, yi], axis=-1), axis_name)
+    stacked = jnp.stack([yr, yi], axis=-1)
+    if out_mode == "scatter":
+        y = jax.lax.psum_scatter(
+            stacked, axis_name, scatter_dimension=stacked.ndim - 2,
+            tiled=True)
+    elif out_mode == "replicated":
+        y = jax.lax.psum(stacked, axis_name)
+    else:
+        raise ValueError(f"unknown out_mode {out_mode!r}")
     return BankState(hist=new_hist), y
 
 

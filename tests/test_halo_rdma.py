@@ -35,6 +35,8 @@ def test_rdma_halo_matches_ppermute():
     )
     f_rd = jax.jit(
         shard_map(via_rdma, mesh=mesh, in_specs=P("sp"),
+                  # JAX 0.9.0 interpret-mode vma limitation; repro + exit gate:
+                  # scripts/jax_vma_repro.py (re-test on each JAX upgrade)
                   out_specs=P("sp"), check_vma=False)
     )
     want = np.asarray(f_pp(x))
@@ -54,6 +56,8 @@ def test_rdma_halo_single_device_self_ring():
             lambda x: halo_exchange_prev_rdma(x, "sp", 2, fill=9,
                                               interpret=True),
             mesh=mesh, in_specs=P("sp"), out_specs=P("sp"),
+            # JAX 0.9.0 interpret-mode vma limitation; repro + exit gate:
+            # scripts/jax_vma_repro.py (re-test on each JAX upgrade)
             check_vma=False,
         )
     )

@@ -103,6 +103,8 @@ def test_channel_sharded_cascades_bitexact():
             run_dec, mesh=mesh,
             in_specs=(sspec, P(None, "dp")),
             out_specs=(sspec, P(None, "dp")),
+            # JAX 0.9.0 interpret-mode vma limitation; repro + exit gate:
+            # scripts/jax_vma_repro.py (re-test on each JAX upgrade)
             check_vma=False,
         )
     )
@@ -122,6 +124,8 @@ def test_channel_sharded_cascades_bitexact():
             run_int, mesh=mesh,
             in_specs=(ispec, P(None, "dp")),
             out_specs=(ispec, P(None, "dp")),
+            # JAX 0.9.0 interpret-mode vma limitation; repro + exit gate:
+            # scripts/jax_vma_repro.py (re-test on each JAX upgrade)
             check_vma=False,
         )
     )

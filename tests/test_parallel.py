@@ -186,6 +186,8 @@ def test_sharded_hbf_dec_rdma_halo():
             mesh=mesh,
             in_specs=(P(), P(None, "sp")),
             out_specs=(P(), P(None, "sp")),
+            # JAX 0.9.0 interpret-mode vma limitation; repro + exit gate:
+            # scripts/jax_vma_repro.py (re-test on each JAX upgrade)
             check_vma=False,
         )
     )
@@ -321,6 +323,8 @@ def test_channel_sharded_fused_cascade_bitexact():
             # checker at all (kernel-body constants replay unvaried:
             # "Primitive mul requires varying manual axes to match...
             # as a temporary workaround pass check_vma=False").
+            # Repro + exit gate: scripts/jax_vma_repro.py (re-test on
+            # each JAX upgrade).
             check_vma=False,
         )
     )
