@@ -69,6 +69,18 @@ _SLOW_TESTS = {
     "test_ops.py::test_triangular_range_and_mean",
     "test_fastlo.py::test_fastlo_mix_closer_to_ideal_than_exact",
     "test_biquad.py::test_df1_block_float_matches_scan",
+    # round-5 rebalance (VERDICT r4 #8): quick lane measured 3:58; the
+    # worst interpret-mode offenders below move it under 3:00.
+    "test_structures_pallas.py::test_fm_disc_bank_fast_angle_tracks_exact",
+    "test_structures_pallas.py::test_fm_disc_bank_fast_passes_reference_gates",
+    "test_masked.py::test_hold_streaming_equals_one_shot",
+    "test_masked.py::test_downsample_interpolate_framing",
+    "test_rate_ddc_bank.py::test_rate_conversion_round_trip_tone",
+    "test_rate_ddc_bank.py::test_cic_hbf_composite_decimator",
+    "test_biquad_pallas.py::test_pallas_fastlo_x_layouts_bit_identical",
+    "test_biquad_pallas.py::test_pallas_fastlo_cascade_clamp_variant",
+    "test_chain_snr.py::test_fastlo_fused_chain_snr",
+    "test_pipeline_parallel.py::test_pipelined_sos_sharded_deep_pipe_one_block_per_device",
 }
 
 
