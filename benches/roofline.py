@@ -505,6 +505,24 @@ def flagship_configs(jnp):
     yield ("channelizer m=1024 (planes bf16) [frames=1024]", chan_planes_bf16,
            (pst, zr_pl, zi_pl), nfr * m)
 
+    # one-kernel FIR+cast+MXU-DFT fusion at the production frame count
+    # (round 5; taps=8 matching the suite row, unlike the taps=4
+    # planes configs above)
+    from idsp_tpu.pipelines.channelizer_pallas import channelize_fused
+
+    nbig = 16384
+    zr_b = jnp.asarray(rng.normal(size=(nbig, m)).astype(np.float32))
+    zi_b = jnp.asarray(rng.normal(size=(nbig, m)).astype(np.float32))
+    pst8 = channelizer.init_planes(m, 8)
+
+    def chan_fused(st, a, b):
+        return channelize_fused(st, a, b, m=m, taps=8,
+                                twiddle_dtype=jnp.bfloat16,
+                                block_frames=256)
+
+    yield ("channelizer m=1024 (fused 1 kernel) [frames=16384]",
+           chan_fused, (pst8, zr_b, zi_b), nbig * m)
+
     # 1024-channel whole-stack DDC bank (BASELINE #5 class)
     from idsp_tpu.filters import pll as _pll
 

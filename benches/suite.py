@@ -902,6 +902,34 @@ def main(argv=None):
         samples=n_pl * m_ch,
     )
 
+    # one-kernel FIR+cast+DFT fusion (channelizer_pallas, round 5):
+    # the planes path is dispatch-floor bound at n<=4096 and HBM-bound
+    # above (scripts/tpu_chan_breakdown.py); the fused kernel keeps the
+    # FIR accumulator in VMEM and feeds the MXU directly.  Same-n row
+    # for an apples-to-apples planes comparison, plus the production
+    # frame count (n=16384 at canonical t) where it reaches ~76% of the
+    # MXU roofline bound.
+    from idsp_tpu.pipelines.channelizer_pallas import channelize_fused
+
+    def _chz_fused(st, a, b):
+        return channelize_fused(st, a, b, m=m_ch, taps=8,
+                                twiddle_dtype=jnp.bfloat16,
+                                block_frames=256)
+
+    run_trials(
+        f"channelizer m=1024 (fused, n={n_pl})",
+        jax.jit(_chz_fused), chz.init_planes(m_ch, 8), zr_pl, zi_pl,
+        samples=n_pl * m_ch,
+    )
+    n_big = max(2048, t // 2)
+    zr_big = jnp.asarray(rng.normal(size=(n_big, m_ch)).astype(np.float32))
+    zi_big = jnp.asarray(rng.normal(size=(n_big, m_ch)).astype(np.float32))
+    run_trials(
+        f"channelizer m=1024 (fused, n={n_big})",
+        jax.jit(_chz_fused), chz.init_planes(m_ch, 8), zr_big, zi_big,
+        samples=n_big * m_ch,
+    )
+
     # ---- 1024-channel DDC bank with per-channel PLL (BASELINE #5) ----
     from idsp_tpu.pipelines import ddc_bank
 
@@ -1078,11 +1106,14 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "ddc_lockin.rs example (fused factored-LO kernel)",
         "fm receiver bank": "fm_disc.rs example",
         "fm receiver bank (1 kernel, fast atan)":
-            "same (SNR-gated f32 discriminator)",
+            "same (SNR-gated f32 discriminator; fastest single-chip "
+            "FM path — beats the composed bank)",
         "fm receiver bank (one kernel)":
-            "fm_disc.rs example (fused disc+atan2+DF1 kernel; "
-            "compute-bound on full-rate in-kernel atan2 — composed "
-            "path above is faster single-chip)",
+            "fm_disc.rs example (fused disc+atan2+DF1 kernel, "
+            "bit-exact; c=512 I/Q-packed puts the in-kernel DF1 on "
+            "half-vreg rows — layout-bound, not compute-bound; "
+            "memory-optimal variant: full-rate dphi never touches "
+            "HBM)",
         "rate conv 16x dec+int round trip": "BASELINE #4 cascade",
         "rate conv 16x round trip (pallas)": "same (2 kernel dispatches)",
         "hbf dec 3-mul single stage (t-major)":
@@ -1103,6 +1134,12 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "channelizer m=1024 (planes, bf16)":
             "same (bf16 twiddles, >=10x gate holds)",
         "channelizer m=1024 (planes, fft)": "same (plane layout, fft)",
+        "channelizer m=1024 (fused, n=1024)":
+            "same (one-kernel FIR+cast+MXU DFT; planes-size "
+            "comparison row)",
+        "channelizer m=1024 (fused, n=16384)":
+            "same (one kernel, production frame count — ~76% of the "
+            "MXU roofline bound)",
         "ddc bank 1024ch (lowpass2+pll)": "BASELINE #5 wideband bank",
         "ddc bank 1024ch (biquad+pll)": "BASELINE #5 (biquad variant)",
         "ddc bank 1024ch (biquad+pll, fastlo)":

@@ -642,6 +642,41 @@ def main():
         print(f"hbf cascade banks                  FAILED: {str(e)[:200]}",
               flush=True)
 
+    # fused one-kernel channelizer (channelizer_pallas, round 5):
+    # tolerance-gated vs the XLA planes path (two K=m MXU dots vs one
+    # K=2m dot — f32 contraction order differs across graphs)
+    try:
+        from idsp_tpu.pipelines import channelizer as chz
+        from idsp_tpu.pipelines.channelizer_pallas import channelize_fused
+
+        mch, tapsch, nfr = 1024, 8, 256
+        zr = jnp.asarray(rng.normal(size=(nfr, mch)).astype(np.float32))
+        zi = jnp.asarray(rng.normal(size=(nfr, mch)).astype(np.float32))
+        pst = chz.init_planes(mch, tapsch)
+        pref, yr0, yi0 = jax.jit(
+            lambda s, a, b: chz.channelize_planes(
+                s, a, b, m=mch, taps=tapsch))(pst, zr, zi)
+        pfus, yr1, yi1 = jax.jit(
+            lambda s, a, b: channelize_fused(
+                s, a, b, m=mch, taps=tapsch,
+                twiddle_dtype=jnp.float32))(pst, zr, zi)
+        sc = float(max(_np2.abs(_np2.asarray(yr0)).max(),
+                       _np2.abs(_np2.asarray(yi0)).max(), 1.0))
+        dch = max(
+            float(_np2.abs(_np2.asarray(yr1) - _np2.asarray(yr0)).max()),
+            float(_np2.abs(_np2.asarray(yi1) - _np2.asarray(yi0)).max()),
+        )
+        okch = dch <= 1e-5 * sc and _np2.array_equal(
+            _np2.asarray(pfus.hist_r), _np2.asarray(pref.hist_r))
+        ok = ok and okch
+        print(f"channelize_fused (<=1e-5 rel)      "
+              f"{'OK' if okch else 'MISMATCH'} (dmax={dch / sc:.2e})",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        ok = False
+        print(f"channelize_fused                   FAILED: {str(e)[:200]}",
+              flush=True)
+
     # RDMA halo kernel: single-chip self-copy ring — compiles the
     # Mosaic semaphore/DMA path on real hardware (multi-chip day-one
     # lowering smoke; VERDICT r2 weak #5)
