@@ -66,9 +66,15 @@ def main():
                     fastlo_ddc_cascade_bank,
                 )
 
+                # tc == unroll: the fully-unrolled chunk (no fori loop
+                # in the kernel) measured fastest at both widths in the
+                # round-5 sweeps (scripts/tpu_headline_tc32.py,
+                # tpu_tc16_confirm.py: c=512 10.4 -> ~13.2, c=1024
+                # 12.1 -> ~16.2 GS/s); accuracy vs the exact-LO chain
+                # is unchanged (119.3 dB rms-SNR at tc=32 and tc=128).
                 bq_iq, tails, phase0, y8 = fastlo_ddc_cascade_bank(
                     ba_q, bq_iq, dec_q, phase0, steps, x, 29,
-                    time_chunk=128, unroll=4,
+                    time_chunk=16, unroll=16,
                 )
                 new_state = (bq_iq, dec_i, tails, phase0)
                 return new_state, (y8[:, :c], y8[:, c:])

@@ -346,9 +346,11 @@ CAUSES = {
         "XLA TPU FFT lowers to gather-heavy stages",
     "channelizer m=1024 (planes) [frames=1024]":
         "FIR/concat elementwise traffic between HBM round trips"
-        " before the DFT matmul",
+        " before the DFT matmul; superseded by the fused 1-kernel"
+        " config",
     "channelizer m=1024 (planes bf16) [frames=1024]":
-        "same FIR/concat traffic; bf16 only shrinks the matmul",
+        "same FIR/concat traffic; bf16 only shrinks the matmul;"
+        " superseded by the fused 1-kernel config",
 }
 
 
@@ -392,8 +394,9 @@ def flagship_configs(jnp):
     ph0 = jnp.zeros((c,), jnp.int32)
 
     def headline(st, tls, ph, x):
+        # round-5 tuned fully-unrolled chunk (see bench.py fastlo_fused)
         return fastlo_ddc_cascade_bank(
-            ba_q, st, tls, ph, steps, x, 29, time_chunk=128, unroll=4)
+            ba_q, st, tls, ph, steps, x, 29, time_chunk=16, unroll=16)
 
     yield ("ddc chain fastlo_fused (1 kernel) [c=512, t=32768]", headline,
            (st0, tails3, ph0, x1), t * c)
@@ -401,7 +404,8 @@ def flagship_configs(jnp):
     xs2 = ri32((t, 2 * c))
 
     def df1(st, xs):
-        return df1_bank_q(ba_q, st, xs, 29, time_chunk=512)
+        # round-5 tuned chunking (scripts/tpu_df1_sweep.py)
+        return df1_bank_q(ba_q, st, xs, 29, time_chunk=64, unroll=16)
 
     yield ("df1_bank_q i32 [lanes=1024, t=32768]", df1, (st0, xs2), t * 2 * c)
 

@@ -226,8 +226,10 @@ def main(argv=None):
     if c % 128 == 0:
         run_trials(
             "q32<29> df1 (pallas)",
-            lambda st, xs: bp.df1_bank_q(ba_q29, st, xs, 29, time_chunk=tc,
-                                         unroll=4),
+            # round-5 tuned chunking (scripts/tpu_df1_sweep.py: 19.2 ->
+            # 22.0 GS/s at lanes=1024; bit-exact at any chunking)
+            lambda st, xs: bp.df1_bank_q(ba_q29, st, xs, 29, time_chunk=64,
+                                         unroll=16),
             biquad.df1_init((c,), jnp.int32), xs_i,
         )
         run_trials(
@@ -637,9 +639,11 @@ def main(argv=None):
 
             def run_fastlo(st, x, steps_a):
                 bq, tails, ph = st
+                # tc == unroll: round-5 tuned fully-unrolled chunk
+                # (see bench.py fastlo_fused; ~+25% at both widths)
                 bq, tails, ph, y8 = fastlo_ddc_cascade_bank(
                     ba_q29, bq, tails, ph, steps_a, x, 29, taps=taps3,
-                    time_chunk=128, unroll=4,
+                    time_chunk=16, unroll=16,
                 )
                 return (bq, tails, ph), y8
 

@@ -767,7 +767,7 @@ def main():
     import os as _os
 
     out_path = _os.environ.get(
-        "IDSP_VALIDATE_OUT", "/root/repo/VALIDATE_r04.json"
+        "IDSP_VALIDATE_OUT", "/root/repo/VALIDATE_r05.json"
     )
     with open(out_path, "w") as fh:
         _json.dump(

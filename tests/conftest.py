@@ -81,6 +81,9 @@ _SLOW_TESTS = {
     "test_biquad_pallas.py::test_pallas_fastlo_cascade_clamp_variant",
     "test_chain_snr.py::test_fastlo_fused_chain_snr",
     "test_pipeline_parallel.py::test_pipelined_sos_sharded_deep_pipe_one_block_per_device",
+    "test_biquad_pallas.py::test_pallas_fused_df1_hbf_cascade",
+    "test_rate_ddc_bank.py::test_ddc_bank_acquires_offsets",
+    "test_biquad_pallas.py::test_pallas_fused_cascade_tiny_fully_unrolled_chunk",
 }
 
 

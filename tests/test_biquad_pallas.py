@@ -1389,3 +1389,67 @@ def test_pallas_fastlo_dec_bank_x_layouts_bit_identical():
         outs[layout] = (np.asarray(st.x), np.asarray(y))
     np.testing.assert_array_equal(outs["replicate"][0], outs["lanes"][0])
     np.testing.assert_array_equal(outs["replicate"][1], outs["lanes"][1])
+
+
+def test_pallas_fused_cascade_tiny_fully_unrolled_chunk():
+    # tc == unroll (no fori loop in the kernel) is the round-5 tuned
+    # headline config (tc=16/u=16 measured 13.2/16.2 GS/s at
+    # c=512/1024, scripts/tpu_headline_tc32.py + tpu_tc16_confirm.py).
+    # The exact-LO integer cascade must stay BIT-identical across
+    # chunkings; the fast-LO variant re-factors its coarse/fine tables
+    # per chunk so it is gated at mix-rounding tolerance (identical
+    # 119.3 dB SNR vs exact-LO on device at tc=32 and tc=128).
+    from idsp_tpu.filters import hbf
+    from idsp_tpu.filters.ddc_pallas import (
+        df1_hbf_cascade_bank, fastlo_ddc_cascade_bank, hbf1_tail_init,
+    )
+
+    c, t = 128, 512
+    c2 = 2 * c
+    taps = tuple(hbf.HBF_TAPS[2 - d] for d in range(3))
+    rng = np.random.default_rng(41)
+    ba_q = _ba_q(0.02)
+    miq = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t, c2), dtype=np.int64)
+        .astype(np.int32))
+
+    def run_exact(tc, u):
+        st = biquad.df1_init((c2,), jnp.int32)
+        tails = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
+        st, tails, y = df1_hbf_cascade_bank(
+            ba_q, st, tails, miq, 29, taps=taps, time_chunk=tc,
+            unroll=u, interpret=True)
+        return st, tails, y
+
+    st_a, tails_a, y_a = run_exact(128, 4)
+    st_b, tails_b, y_b = run_exact(16, 16)
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
+    np.testing.assert_array_equal(np.asarray(st_a.x), np.asarray(st_b.x))
+    for ta, tb in zip(tails_a, tails_b):
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+    # fast-LO at the tuned chunking: mix-rounding tolerance vs tc=128
+    x = jnp.asarray(
+        rng.integers(-(2**27), 2**27, size=(t,), dtype=np.int64)
+        .astype(np.int32))
+    steps = jnp.asarray(
+        rng.integers(1 << 24, 1 << 30, size=(c,), dtype=np.int64)
+        .astype(np.int32))
+    ph0 = jnp.zeros((c,), jnp.int32)
+
+    def run_fast(tc, u):
+        st = biquad.df1_init((c2,), jnp.int32)
+        tails = tuple(hbf1_tail_init(c2, len(tv)) for tv in taps)
+        st, tails, ph, y = fastlo_ddc_cascade_bank(
+            ba_q, st, tails, ph0, steps, x, 29, taps=taps,
+            time_chunk=tc, unroll=u, interpret=True)
+        return ph, y
+
+    ph_a, yf_a = run_fast(128, 4)
+    ph_b, yf_b = run_fast(16, 16)
+    np.testing.assert_array_equal(np.asarray(ph_a), np.asarray(ph_b))
+    ya = np.asarray(yf_a, np.float64)
+    yb = np.asarray(yf_b, np.float64)
+    rms_sig = np.sqrt((ya**2).mean()) + 1.0
+    rms_d = np.sqrt(((ya - yb) ** 2).mean())
+    assert rms_d < 1e-5 * rms_sig, (rms_d, rms_sig)
