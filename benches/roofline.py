@@ -603,6 +603,9 @@ def main(argv=None):
     if args.peaks_only:
         return 0
 
+    from idsp_tpu.profiling import SlowWindowGuard
+
+    _guard = SlowWindowGuard()
     results = []
     for name, fn, fargs, samples in flagship_configs(jnp):
         if args.only and args.only not in name:
@@ -624,6 +627,7 @@ def main(argv=None):
         elif not args.skip_measure:
             try:
                 jfn = jax.jit(fn)
+                _guard.await_good_window(name)
                 dt = _measure(jfn, *fargs, iters=6, sync=sync)
                 achieved = samples / dt
                 pct = 100.0 * achieved / limit_rate

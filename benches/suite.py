@@ -106,6 +106,7 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001
             print(f"# {name} skipped: {str(e)[:100]}")
             return
+        _await_good_window(name)
 
         def timed(k):
             t0 = time.perf_counter()
@@ -201,6 +202,15 @@ def main(argv=None):
     xs_f32 = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
     xs_f64 = jnp.asarray(rng.normal(size=(t, c)))
     tc = min(512, t)
+
+    # Slow-window canary (round 5): shared implementation, see
+    # idsp_tpu.profiling.SlowWindowGuard.
+    from idsp_tpu.profiling import SlowWindowGuard
+
+    _guard = SlowWindowGuard()
+
+    def _await_good_window(row_name):
+        _guard.await_good_window(row_name)
 
     def scan_of(step_fn, *cfg, unroll=8):
         @jax.jit

@@ -167,6 +167,95 @@ def measure_rate(step, state, *args, iters=None,
     return med, diffs
 
 
+class SlowWindowGuard:
+    """Detect (and wait out) multi-minute device slow states.
+
+    The shared chip behind the axon tunnel has slow windows where every
+    kernel runs 5-10x under its normal rate for minutes at a time: the
+    round-5 full-suite run measured a contiguous block of rows far
+    below their probe-verified rates (fm one-kernel 0.31 GS/s vs 3.4
+    across data/state variations in scripts/tpu_fm_ab.py) while rows
+    before and after the window were fast with single-digit spreads.
+
+    Before each benchmark row, call :meth:`await_good_window`: it times
+    a fixed canary kernel and, while the canary runs ``ratio``x slower
+    than the best canary seen so far, sleeps rather than letting the
+    caller publish a rate that measures the window, not the kernel.
+    The wait is bounded (``max_wait_s`` per row); on timeout the caller
+    proceeds and the ordinary spread machinery annotates the row.
+    """
+
+    def __init__(self, canary=None, ratio: float = 2.5,
+                 max_wait_s: float = 600.0, sleep_s: float = 20.0):
+        self._canary = canary or _default_canary
+        self.ratio = ratio
+        self.max_wait_s = max_wait_s
+        self.sleep_s = sleep_s
+        self.best = None
+        self.enabled = True
+
+    def await_good_window(self, label: str = "") -> None:
+        if not self.enabled:
+            return
+        deadline = time.time() + self.max_wait_s
+        while True:
+            try:
+                dt = self._canary()
+            except Exception as e:  # noqa: BLE001 — no kernel path (CPU)
+                self.enabled = False
+                print(f"# slow-window canary disabled: {str(e)[:80]}",
+                      flush=True)
+                return
+            if self.best is None or dt < self.best:
+                self.best = dt
+            if dt <= self.ratio * self.best:
+                return
+            if time.time() > deadline:
+                print(f"# {label}: slow window never cleared (canary "
+                      f"{dt:.2f}s vs best {self.best:.2f}s) — measuring"
+                      " anyway; expect a wide-spread annotation",
+                      flush=True)
+                return
+            print(f"# slow window (canary {dt:.2f}s vs best "
+                  f"{self.best:.2f}s) — waiting {self.sleep_s:.0f} s",
+                  flush=True)
+            time.sleep(self.sleep_s)
+
+
+_CANARY_CACHE = {}
+
+
+def _default_canary() -> float:
+    """Seconds for 20 chained df1_bank_q dispatches on (8192, 512) i32
+    (~25 ms in a good window; 10x that in a slow one — far above the
+    tunnel's readback jitter either way)."""
+    import numpy as np
+
+    from .design import Filter
+    from .filters import biquad
+    from .filters.biquad_pallas import df1_bank_q
+
+    if "args" not in _CANARY_CACHE:
+        rng = np.random.default_rng(12345)
+        ba_q = jnp.asarray(biquad.quantize_ba(
+            biquad.from_cookbook(
+                Filter().critical_frequency(0.02).lowpass()), 29))
+        x = jnp.asarray(
+            rng.integers(-(2**24), 2**24, size=(8192, 512),
+                         dtype=np.int64).astype(np.int32))
+        st = biquad.df1_init((512,), jnp.int32)
+        st1, y = df1_bank_q(ba_q, st, x, 29, time_chunk=64, unroll=16)
+        sync(y)  # compile + warm before the first timed call
+        _CANARY_CACHE["args"] = (ba_q, st, x)
+    ba_q, st, x = _CANARY_CACHE["args"]
+    t0 = time.perf_counter()
+    s2 = st
+    for _ in range(20):
+        s2, y = df1_bank_q(ba_q, s2, x, 29, time_chunk=64, unroll=16)
+    sync(y)
+    return time.perf_counter() - t0
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/idsp_tpu_trace"):
     """Capture a jax.profiler trace around a block."""
