@@ -100,12 +100,27 @@ def main(argv=None):
         measured round trip under/over-subtracts by tens of ms)."""
         if args.only and args.only not in name:
             return
+        # jit-wrap every row uniformly: kernel WRAPPERS run eager jnp
+        # ops (tail concats, phase updates, state packing) outside
+        # their inner jit, and through the tunnel each eager op is a
+        # separate remote dispatch — bare-wrapper rows measured the
+        # tunnel's eager-dispatch overhead (fm one-kernel 0.41 GS/s
+        # bare vs 3.46 under jit, SAME kernel+args, r5 isolation runs;
+        # CPU repro: jax_log_compiles shows per-call eager squeeze/
+        # concatenate dispatches).  Production callers run under jit.
         try:
-            out = fn(state, *xargs)
+            jfn = jax.jit(fn)
+            out = jfn(state, *xargs)
             sync(out)
-        except Exception as e:  # noqa: BLE001
-            print(f"# {name} skipped: {str(e)[:100]}")
-            return
+            fn = jfn
+        except Exception:  # noqa: BLE001 — statics in args etc.
+            try:
+                out = fn(state, *xargs)
+                sync(out)
+                print(f"# {name}: measuring UNJITTED (jit wrap failed)")
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name} skipped: {str(e)[:100]}")
+                return
         _await_good_window(name)
 
         def timed(k):

@@ -35,7 +35,7 @@ def main():
 
     def sweep(name, make_run, st0, *xargs, samples, tcs=(128, 64, 32)):
         for tc in tcs:
-            run = make_run(tc)
+            run = jax.jit(make_run(tc))
             try:
                 out = run(st0, *xargs)
                 sync(out)
@@ -75,9 +75,10 @@ def main():
     ba_fm = np.asarray(fm_disc.deemphasis_coefficients(0.02))
     re_fm, im_fm = ri32((t, c)), ri32((t, c))
     for tcf in (2048, 1024, 512, 256):
-        def runf(st, re, im, tcf=tcf):
-            return fm_disc_bank(ba_fm, st, re, im, 12345,
-                                time_chunk=tcf, angle="fast")
+        runf = jax.jit(
+            lambda st, re, im, tcf=tcf: fm_disc_bank(
+                ba_fm, st, re, im, 12345, time_chunk=tcf,
+                angle="fast"))
 
         st0 = fm_disc.init_state((c,))
         try:

@@ -34,8 +34,9 @@ def main():
             rng.normal(size=(c, t)).astype(np.float32)).T
         for src, x in (("direct", x_direct), ("transposed", x_t)):
             for tc in (512, 256):
-                def run(st, xs, tc=tc):
-                    return hbf_dec_cascade_bank(st, xs, time_chunk=tc)
+                run = jax.jit(
+                    lambda st, xs, tc=tc: hbf_dec_cascade_bank(
+                        st, xs, time_chunk=tc))
 
                 st0 = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
                 try:
