@@ -696,9 +696,7 @@ def main(argv=None):
             lambda st, x: hbf_dec_cascade_bank(st, x, time_chunk=512),
             hbf.hbf_dec_cascade_init(3, (c,), axis=0), x_hbf.T,
         )
-        # production width: the kernel is HBM-bound and reaches ~40
-        # GS/s at 1024 lanes (ROOFLINE.md rows; the c-lane row above
-        # repeatedly measures ~2 GS/s — cs=4 sublane-row config)
+        # production width (matches the ROOFLINE.md lanes=1024 rows)
         x_hbf_w = jnp.asarray(
             rng.normal(size=(t, 2 * c)).astype(np.float32))
         run_trials(
@@ -1126,8 +1124,7 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "hbf dec8 cascade": ">2 GS/s/core Skylake",
         "hbf dec8 cascade (pallas)": "same",
         "hbf dec8 cascade (pallas, lanes=1024)":
-            "same (production width; HBM-bound, ~40 GS/s on the "
-            "roofline rows — the c-lane row hits a cs=4 slow path)",
+            "same (production width; HBM-bound — see ROOFLINE.md)",
         "hbf int8 cascade": "476.7 cyc/smp M7",
         "hbf int8 cascade (pallas)": "same",
         "cic dec N=3 R=16": "2.84/1.70 cyc/smp x86 (mono/chunked)",
