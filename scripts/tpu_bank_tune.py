@@ -19,8 +19,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    from idsp_tpu.design import Filter
-    from idsp_tpu.filters import biquad, lowpass, pll, svf
+    from idsp_tpu.filters import lowpass, pll, svf
     from idsp_tpu.filters.lowpass_pallas import lowpass_bank
     from idsp_tpu.filters.pll_pallas import pll_bank
     from idsp_tpu.filters.svf_pallas import svf_bank
