@@ -1170,7 +1170,8 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "polyphase_channelizer.rs scaled to M=1024",
         "channelizer m=1024 (fft)": "same (O(M log M) DFT)",
         "channelizer m=1024 (planes, mxu)":
-            "same (plane layout: m on lanes — production path)",
+            "same (plane layout: m on lanes; superseded by the fused "
+            "kernel as the production path)",
         "channelizer m=1024 (planes, bf16)":
             "same (bf16 twiddles, >=10x gate holds)",
         "channelizer m=1024 (planes, fft)": "same (plane layout, fft)",
