@@ -72,8 +72,8 @@ def init_planes(m: int = 4, taps: int = 8, shape=(),
 
 def channelize_planes(state: PlanesState, zr, zi, proto=None, *,
                       m: int = 4, taps: int = 8, dft: str = "matmul",
-                      twiddle_dtype=jnp.float32):
-    """Plane-layout analysis bank: the production path for large M.
+                      twiddle_dtype=jnp.float32, impl: str = "xla"):
+    """Plane-layout analysis bank.
 
     Args:
       zr, zi: (..., n, m) I/Q planes of the frame stream (m polyphase
@@ -86,11 +86,28 @@ def channelize_planes(state: PlanesState, zr, zi, proto=None, *,
         fine for the reference's >=10x bin-power gate
         (polyphase_channelizer.rs:166-178) but NOT for
         high-dynamic-range bins; opt-in for that reason.
+      impl: "xla" (this composition) or "fused" — the one-kernel
+        Pallas path (`channelizer_pallas.channelize_fused`: FIR +
+        cast + MXU DFT, ~76% of the MXU roofline bound at M=1024 vs
+        ~8% for the XLA path, benches/ROOFLINE.md).  The fused path
+        matches this one to f32 contraction order (tolerance-gated,
+        never bit-equal — CLAUDE.md round-3 FMA lesson) and requires
+        dft="matmul", 2-D (n, m) planes, m % 128 == 0, n % 8 == 0,
+        and a TPU backend; it raises otherwise.
 
     Returns (state, yr, yi) with y planes shaped like the inputs.
     The math matches `channelize` exactly (same FIR order, same
     einsum contractions) — only the memory layout differs.
     """
+    if impl == "fused":
+        if dft != "matmul":
+            raise ValueError("impl='fused' supports dft='matmul' only")
+        from .channelizer_pallas import channelize_fused
+
+        return channelize_fused(state, zr, zi, proto, m=m, taps=taps,
+                                twiddle_dtype=twiddle_dtype)
+    if impl != "xla":
+        raise ValueError(f"unknown impl {impl!r}")
     if proto is None:
         proto = prototype(m, taps)
     coeff = np.asarray(proto, np.float32).reshape(taps, m)
