@@ -476,6 +476,17 @@ def flagship_configs(jnp):
     yield ("cic dec N=3 R=16 (1 kernel) [c=512, t=131072]", cicd_big,
            (cic.init(3, 1, (c,), dtype=jnp.int32), xcic4), tb4 * c)
 
+    # banded-MXU hbf cascade (round 5): FIR as one dot per stage
+    from idsp_tpu.filters.hbf_pallas import hbf_dec_cascade_mxu
+
+    def hbf3_mxu(sts, xs):
+        return hbf_dec_cascade_mxu(sts, xs, block=128)
+
+    yield ("hbf dec cascade x8 (mxu split3) [lanes=1024, t=131072]",
+           hbf3_mxu,
+           (hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0), xf4),
+           tb4 * 2 * c)
+
     # channelizer M=1024 (both DFT modes); 1024 frames/dispatch — the
     # ~100 us dispatch floor dominates smaller batches (see
     # scripts/tpu_channelizer_probe.py)

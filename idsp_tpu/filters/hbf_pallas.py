@@ -353,3 +353,215 @@ def _hbf_int_cascade_impl(taps_static, tails, xs, *, time_chunk,
     y = outs[0].reshape(t * r, c2)
     t_outs = tuple(o.reshape(ln, c2) for o, ln in zip(outs[1:], lns))
     return t_outs, y
+
+
+# --- MXU banded-matmul decimation cascade -------------------------------------
+
+
+def _hbf_dec_band_matrix(taps, n_out: int, kp: int) -> np.ndarray:
+    """(n_out, kp + 2*n_out) banded operator of one half-band dec-by-2
+    stage over [zero-pad | full-rate carry | block] rows.
+
+    Derivation (same math as `hbf.hbf_dec_block`, round-5): with the
+    stage state held as the last ``4m-2`` FULL-RATE input samples
+    (right-aligned in a ``kp``-row slot, leading rows zero columns),
+
+        y[j] = sum_i tv[i] * (ext[o + 2j+2i+1] + ext[o + 2j+4m-1-2i])
+               + ext[o + 2j+2m],          o = kp - (4m-2)
+
+    odd-history columns are odd, the even/center-tap column is even,
+    so the don't-care even rows of the carry slot are never read.
+    """
+    taps = np.asarray(taps, np.float64)
+    m = taps.shape[0]
+    k = 4 * m - 2
+    o = kp - k
+    w = np.zeros((n_out, kp + 2 * n_out), np.float32)
+    for j in range(n_out):
+        for i in range(m):
+            w[j, o + 2 * j + 2 * i + 1] += np.float32(taps[i])
+            w[j, o + 2 * j + 4 * m - 1 - 2 * i] += np.float32(taps[i])
+        w[j, o + 2 * j + 2 * m] += 1.0
+    return w
+
+
+def _carry_from_state(st: HbfDecState, m: int, kp: int, c2: int, jnp=jnp):
+    """HbfDecState (odd ln, even m-1 planes) -> right-aligned (kp, c2)
+    full-rate carry: carry[o+2r+1]=odd[r], carry[o+2r+2m]=even[r]."""
+    k = 4 * m - 2
+    o = kp - k
+    carry = jnp.zeros((kp, c2), st.odd.dtype)
+    carry = carry.at[o + 1:o + 4 * m - 2:2].set(st.odd)
+    if m > 1:
+        carry = carry.at[o + 2 * m:o + 4 * m - 3:2].set(st.even)
+    return carry
+
+
+def _state_from_carry(carry, m: int, kp: int) -> HbfDecState:
+    k = 4 * m - 2
+    o = kp - k
+    return HbfDecState(
+        odd=carry[o + 1:o + 4 * m - 2:2],
+        even=carry[o + 2 * m:o + 4 * m - 3:2],
+    )
+
+
+def hbf_dec_cascade_mxu(states, xs, *, taps=None, block: int = 128,
+                        precision: str = "split3",
+                        interpret: bool = False, vma=None):
+    """Decimate-by-2**depth half-band cascade as banded MXU matmuls.
+
+    Same I/O contract as `hbf_dec_cascade_bank` (axis=0 states, (t, c)
+    f32 in, (t/2**depth, c) out) but each stage is ONE (n_out, K) x
+    (K, c) dot against a static banded operator instead of ~2m
+    sublane-shifted FMA slices.  The round-5 depth/DMA probes showed
+    the shift-based kernel issue-bound at ~180 GB/s effective while a
+    bare Pallas copy streams 661 GB/s; the banded form moves the FIR
+    onto the MXU (~740 F/S at block=512) and leaves the VPU only the
+    scratch packing, i.e. the kernel becomes HBM-bound.
+
+    Numerics: the dot reassociates the tap sum, so outputs are
+    tolerance-gated vs `hbf.hbf_dec_cascade` (never bit-eq, CLAUDE.md
+    round-3 lessons); the stage-0 carry is exact input copies.
+    ``precision``:
+      * "split3" (default): manual bf16 hi/lo split of both operands,
+        three 1-pass dots (Wh@xh + Wh@xl + Wl@xh) — ~4e-6 rel on
+        device, kernel stays HBM-bound (~2e-7 measured at 4096x1024).
+      * "highest": Mosaic's own f32 decomposition — ~2e-7 rel but ~9
+        MXU passes (measured 75 GS/s at block=128 vs ~140 split3).
+      * "default": single bf16 pass — ~4.5e-3 rel (DATA truncation);
+        documented fast path only for gain-insensitive pipelines.
+    """
+    if taps is None:
+        from .hbf import HBF_TAPS
+
+        taps = HBF_TAPS
+    depth = len(states)
+    stage_taps = tuple(taps[depth - 1 - i] for i in range(depth))
+    ms = [len(tv) for tv in stage_taps]
+    kps = [-(-(4 * m - 2) // 8) * 8 for m in ms]
+    c2 = xs.shape[1]
+    carries = tuple(
+        _carry_from_state(st, m, kp, c2)
+        for st, m, kp in zip(states, ms, kps)
+    )
+    new_carries, y = _hbf_dec_mxu_impl(
+        _taps_key(states, stage_taps), carries, xs, block=block,
+        precision=precision, interpret=interpret, vma=as_vma(vma),
+    )
+    return (
+        tuple(
+            _state_from_carry(cr, m, kp)
+            for cr, m, kp in zip(new_carries, ms, kps)
+        ),
+        y,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("block", "precision", "interpret",
+                                    "vma"))
+def _hbf_dec_mxu_impl(taps_static, carries, xs, *, block, precision,
+                      interpret, vma=None):
+    depth = len(taps_static)
+    r = 1 << depth
+    t, c2 = xs.shape
+    assert c2 % 128 == 0, "channel count must be a multiple of 128"
+    ms = [len(tv) for tv in taps_static]
+    kps = [-(-(4 * m - 2) // 8) * 8 for m in ms]
+
+    b = min(block, t)
+    while t % b or b % (8 * r):
+        b -= 8
+        if b <= 0:
+            raise ValueError(f"no block size divides t={t} for r={r}")
+    outs_rows = [b >> (d + 1) for d in range(depth)]  # per-stage rows
+    ws = [
+        jnp.asarray(_hbf_dec_band_matrix(tv, n_out, kp))
+        for tv, n_out, kp in zip(taps_static, outs_rows, kps)
+    ]
+    grid = (t // b,)
+
+    def kernel(*refs):
+        cin = refs[0:depth]
+        x_ref = refs[depth]
+        w_refs = refs[depth + 1:2 * depth + 1]
+        y_ref = refs[2 * depth + 1]
+        cout = refs[2 * depth + 2:3 * depth + 2]
+        scr = refs[3 * depth + 2:]
+        car = scr[0:depth]
+        ext = scr[depth:2 * depth]
+
+        i = pl.program_id(0)
+        n_i = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _():
+            for cr, ci in zip(car, cin):
+                cr[...] = ci[...]
+
+        v = x_ref[...]
+        for d in range(depth):
+            kp, n_in = kps[d], outs_rows[d] * 2
+            ext[d][0:kp] = car[d][...]
+            ext[d][kp:kp + n_in] = v
+            car[d][...] = ext[d][n_in:n_in + kp]
+            # precision: Mosaic's default f32 dot truncates operands
+            # to bf16 (one MXU pass; measured 4.5e-3 rel on device).
+            # split3 = manual hi/lo bf16 split, three 1-pass dots; the
+            # dropped Wl@xl term is ~2^-18 rel.  See docstring.
+            ev = ext[d][...]
+            if precision == "split3":
+                wv = w_refs[d][...]
+                wh = wv.astype(jnp.bfloat16)
+                wl = (wv - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+                eh = ev.astype(jnp.bfloat16)
+                el = (ev - eh.astype(jnp.float32)).astype(jnp.bfloat16)
+                v = (
+                    jnp.dot(wh, eh, preferred_element_type=jnp.float32)
+                    + jnp.dot(wh, el,
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(wl, eh,
+                              preferred_element_type=jnp.float32)
+                )
+            else:
+                v = jnp.dot(w_refs[d][...], ev, precision=precision,
+                            preferred_element_type=jnp.float32)
+        y_ref[...] = v
+
+        @pl.when(i == n_i - 1)
+        def _():
+            for cr, co in zip(car, cout):
+                co[...] = cr[...]
+
+    def fixed(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    walk_in = pl.BlockSpec((b, c2), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+    walk_out = pl.BlockSpec((b // r, c2), lambda i: (i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [fixed(kp, c2) for kp in kps]
+            + [walk_in]
+            + [fixed(w.shape[0], w.shape[1]) for w in ws]
+        ),
+        out_specs=[walk_out] + [fixed(kp, c2) for kp in kps],
+        out_shape=(
+            [jax.ShapeDtypeStruct((t // r, c2), jnp.float32, vma=vma)]
+            + [jax.ShapeDtypeStruct((kp, c2), jnp.float32, vma=vma)
+               for kp in kps]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((kp, c2), jnp.float32) for kp in kps]
+            + [pltpu.VMEM((kp + 2 * n_out, c2), jnp.float32)
+               for kp, n_out in zip(kps, outs_rows)]
+        ),
+        interpret=interpret,
+    )(*carries, xs, *ws)
+    return tuple(outs[1:]), outs[0]

@@ -642,6 +642,29 @@ def main():
         print(f"hbf cascade banks                  FAILED: {str(e)[:200]}",
               flush=True)
 
+    # banded-MXU hbf cascade (round 5): split3 operand decomposition
+    try:
+        from idsp_tpu.filters.hbf_pallas import hbf_dec_cascade_mxu
+
+        xhb2 = jnp.asarray(rng.normal(size=(512, c)).astype(np.float32))
+        dref3b = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
+        dref3b, ydec_rb = hbf.hbf_dec_cascade(dref3b, xhb2, axis=0)
+        dmx3 = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
+        dmx3, ydec_m = hbf_dec_cascade_mxu(dmx3, xhb2, block=128)
+        sc_m = float(max(_np2.abs(_np2.asarray(ydec_rb)).max(), 1.0))
+        dm = float(
+            _np2.abs(_np2.asarray(ydec_m) - _np2.asarray(ydec_rb)).max()
+        )
+        okmx = dm <= 5e-5 * sc_m
+        ok = ok and okmx
+        print(f"hbf_dec_cascade_mxu (<=5e-5 rel)   "
+              f"{'OK' if okmx else 'MISMATCH'} (dmax={dm / sc_m:.2e})",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        ok = False
+        print(f"hbf_dec_cascade_mxu                FAILED: {str(e)[:200]}",
+              flush=True)
+
     # fused one-kernel channelizer (channelizer_pallas, round 5):
     # tolerance-gated vs the XLA planes path (two K=m MXU dots vs one
     # K=2m dot — f32 contraction order differs across graphs)

@@ -175,3 +175,38 @@ def test_round_trip_dec_int_kernels():
     _, low_ref = hbf.hbf_dec_cascade(dst2, x, axis=0)
     _, y_ref = hbf.hbf_int_cascade(ist2, low_ref, axis=0)
     _ulp_gate(y, y_ref, 32)
+
+
+def test_dec_cascade_mxu_matches_xla():
+    # banded-MXU cascade (round 5): each stage is one (n_out, K) x
+    # (K, c) dot against a static banded operator.  Output and the
+    # stage>=1 carried states (copies of MXU-computed intermediates)
+    # match the XLA cascade to FMA-contraction tolerance; the stage-0
+    # carry (copies of raw input) and streaming identity are exact.
+    from idsp_tpu.filters.hbf_pallas import hbf_dec_cascade_mxu
+
+    t, c = 256, 128
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    st_ref, y_ref = hbf.hbf_dec_cascade(
+        hbf.hbf_dec_cascade_init(3, (c,), axis=0), x, axis=0)
+    st_m, y_m = hbf_dec_cascade_mxu(
+        hbf.hbf_dec_cascade_init(3, (c,), axis=0), x, block=64,
+        interpret=True)
+    sc = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_m - y_ref).max()) < 1e-5 * sc
+    np.testing.assert_array_equal(np.asarray(st_m[0].odd),
+                                  np.asarray(st_ref[0].odd))
+    np.testing.assert_array_equal(np.asarray(st_m[0].even),
+                                  np.asarray(st_ref[0].even))
+    for a, b in zip(st_m[1:], st_ref[1:]):
+        assert float(jnp.abs(a.odd - b.odd).max()) < 1e-5 * sc
+        assert float(jnp.abs(a.even - b.even).max()) < 1e-5 * sc
+
+    st_s = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
+    st_s, ya = hbf_dec_cascade_mxu(st_s, x[: t // 2], block=64,
+                                   interpret=True)
+    _, yb = hbf_dec_cascade_mxu(st_s, x[t // 2:], block=64,
+                                interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([ya, yb], axis=0)), np.asarray(y_m))
