@@ -480,7 +480,7 @@ def flagship_configs(jnp):
     from idsp_tpu.filters.hbf_pallas import hbf_dec_cascade_mxu
 
     def hbf3_mxu(sts, xs):
-        return hbf_dec_cascade_mxu(sts, xs, block=128)
+        return hbf_dec_cascade_mxu(sts, xs)
 
     yield ("hbf dec cascade x8 (mxu split3) [lanes=1024, t=131072]",
            hbf3_mxu,

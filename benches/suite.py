@@ -711,7 +711,7 @@ def main(argv=None):
 
         run_trials(
             f"hbf dec8 cascade (mxu, lanes={2 * c})",
-            lambda st, x: hbf_dec_cascade_mxu(st, x, block=128),
+            lambda st, x: hbf_dec_cascade_mxu(st, x),
             hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0), x_hbf_w,
             samples=t * 2 * c,
         )
@@ -1136,8 +1136,9 @@ def write_md(rows, dev, c, t, iters, trials, rt):
         "hbf dec8 cascade (pallas, lanes=1024)":
             "same (production width; HBM-bound — see ROOFLINE.md)",
         "hbf dec8 cascade (mxu, lanes=1024)":
-            "same (banded-MXU stages, split3 operands ~1e-5 rel; "
-            "2.5x the shift kernel, ~74% of the HBM bound)",
+            "same (banded-MXU stages, Toeplitz sub-blocked, split3 "
+            "operands ~1e-5 rel; ~3.3x the shift kernel, ~95% of the "
+            "HBM bound)",
         "hbf int8 cascade": "476.7 cyc/smp M7",
         "hbf int8 cascade (pallas)": "same",
         "cic dec N=3 R=16": "2.84/1.70 cyc/smp x86 (mono/chunked)",

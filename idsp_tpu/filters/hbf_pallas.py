@@ -406,8 +406,8 @@ def _state_from_carry(carry, m: int, kp: int) -> HbfDecState:
     )
 
 
-def hbf_dec_cascade_mxu(states, xs, *, taps=None, block: int = 128,
-                        precision: str = "split3",
+def hbf_dec_cascade_mxu(states, xs, *, taps=None, block: int = 256,
+                        sub: int = 32, precision: str = "split3",
                         interpret: bool = False, vma=None):
     """Decimate-by-2**depth half-band cascade as banded MXU matmuls.
 
@@ -447,7 +447,8 @@ def hbf_dec_cascade_mxu(states, xs, *, taps=None, block: int = 128,
     )
     new_carries, y = _hbf_dec_mxu_impl(
         _taps_key(states, stage_taps), carries, xs, block=block,
-        precision=precision, interpret=interpret, vma=as_vma(vma),
+        sub=sub, precision=precision, interpret=interpret,
+        vma=as_vma(vma),
     )
     return (
         tuple(
@@ -459,10 +460,10 @@ def hbf_dec_cascade_mxu(states, xs, *, taps=None, block: int = 128,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("block", "precision", "interpret",
-                                    "vma"))
-def _hbf_dec_mxu_impl(taps_static, carries, xs, *, block, precision,
-                      interpret, vma=None):
+                   static_argnames=("block", "sub", "precision",
+                                    "interpret", "vma"))
+def _hbf_dec_mxu_impl(taps_static, carries, xs, *, block, sub,
+                      precision, interpret, vma=None):
     depth = len(taps_static)
     r = 1 << depth
     t, c2 = xs.shape
@@ -476,9 +477,20 @@ def _hbf_dec_mxu_impl(taps_static, carries, xs, *, block, precision,
         if b <= 0:
             raise ValueError(f"no block size divides t={t} for r={r}")
     outs_rows = [b >> (d + 1) for d in range(depth)]  # per-stage rows
+    # Toeplitz sub-blocking: the banded operator is shift-invariant,
+    # so one (su, kp + 2su) matrix applies to every stride-2su window
+    # of the stage's ext scratch — su bounds the dense-band waste
+    # ((kp + 2su) MACs/row vs a ~4m-wide band) independently of the
+    # frame block b.  su multiple of 8 keeps every read/write aligned.
+    sus = []
+    for n_out in outs_rows:
+        su = min(sub, n_out)
+        while n_out % su:
+            su -= 8
+        sus.append(max(su, 8))
     ws = [
-        jnp.asarray(_hbf_dec_band_matrix(tv, n_out, kp))
-        for tv, n_out, kp in zip(taps_static, outs_rows, kps)
+        jnp.asarray(_hbf_dec_band_matrix(tv, su, kp))
+        for tv, su, kp in zip(taps_static, sus, kps)
     ]
     grid = (t // b,)
 
@@ -500,34 +512,43 @@ def _hbf_dec_mxu_impl(taps_static, carries, xs, *, block, precision,
             for cr, ci in zip(car, cin):
                 cr[...] = ci[...]
 
-        v = x_ref[...]
+        ext[0][kps[0]:kps[0] + b] = x_ref[...]
         for d in range(depth):
-            kp, n_in = kps[d], outs_rows[d] * 2
+            kp, n_in, n_out = kps[d], outs_rows[d] * 2, outs_rows[d]
+            su = sus[d]
             ext[d][0:kp] = car[d][...]
-            ext[d][kp:kp + n_in] = v
             car[d][...] = ext[d][n_in:n_in + kp]
             # precision: Mosaic's default f32 dot truncates operands
             # to bf16 (one MXU pass; measured 4.5e-3 rel on device).
             # split3 = manual hi/lo bf16 split, three 1-pass dots; the
             # dropped Wl@xl term is ~2^-18 rel.  See docstring.
-            ev = ext[d][...]
+            wv = w_refs[d][...]
             if precision == "split3":
-                wv = w_refs[d][...]
                 wh = wv.astype(jnp.bfloat16)
                 wl = (wv - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-                eh = ev.astype(jnp.bfloat16)
-                el = (ev - eh.astype(jnp.float32)).astype(jnp.bfloat16)
-                v = (
-                    jnp.dot(wh, eh, preferred_element_type=jnp.float32)
-                    + jnp.dot(wh, el,
-                              preferred_element_type=jnp.float32)
-                    + jnp.dot(wl, eh,
-                              preferred_element_type=jnp.float32)
-                )
-            else:
-                v = jnp.dot(w_refs[d][...], ev, precision=precision,
-                            preferred_element_type=jnp.float32)
-        y_ref[...] = v
+            win = kp + 2 * su
+            for q in range(n_out // su):
+                ev = ext[d][2 * su * q:2 * su * q + win]
+                if precision == "split3":
+                    eh = ev.astype(jnp.bfloat16)
+                    el = (ev - eh.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    v = (
+                        jnp.dot(wh, eh,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(wh, el,
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(wl, eh,
+                                  preferred_element_type=jnp.float32)
+                    )
+                else:
+                    v = jnp.dot(wv, ev, precision=precision,
+                                preferred_element_type=jnp.float32)
+                if d + 1 < depth:
+                    ext[d + 1][kps[d + 1] + su * q:
+                               kps[d + 1] + su * q + su] = v
+                else:
+                    y_ref[su * q:su * q + su] = v
 
         @pl.when(i == n_i - 1)
         def _():

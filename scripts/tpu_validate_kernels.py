@@ -650,7 +650,7 @@ def main():
         dref3b = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
         dref3b, ydec_rb = hbf.hbf_dec_cascade(dref3b, xhb2, axis=0)
         dmx3 = hbf.hbf_dec_cascade_init(3, (c,), axis=0)
-        dmx3, ydec_m = hbf_dec_cascade_mxu(dmx3, xhb2, block=128)
+        dmx3, ydec_m = hbf_dec_cascade_mxu(dmx3, xhb2)
         sc_m = float(max(_np2.abs(_np2.asarray(ydec_rb)).max(), 1.0))
         dm = float(
             _np2.abs(_np2.asarray(ydec_m) - _np2.asarray(ydec_rb)).max()
