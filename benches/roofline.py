@@ -487,6 +487,19 @@ def flagship_configs(jnp):
            (hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0), xf4),
            tb4 * 2 * c)
 
+    from idsp_tpu.filters.hbf_pallas import hbf_int_cascade_mxu
+
+    xint4 = jnp.asarray(
+        rng.normal(size=(tb4 // 8, 2 * c)).astype(np.float32))
+
+    def hbf3_int_mxu(sts, xs):
+        return hbf_int_cascade_mxu(sts, xs)
+
+    yield ("hbf int cascade x8 (mxu split3) [lanes=1024, t=16384]",
+           hbf3_int_mxu,
+           (hbf.hbf_int_cascade_init(3, (2 * c,), axis=0), xint4),
+           (tb4 // 8) * 2 * c)
+
     # channelizer M=1024 (both DFT modes); 1024 frames/dispatch — the
     # ~100 us dispatch floor dominates smaller batches (see
     # scripts/tpu_channelizer_probe.py)

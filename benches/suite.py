@@ -715,6 +715,16 @@ def main(argv=None):
             hbf.hbf_dec_cascade_init(3, (2 * c,), axis=0), x_hbf_w,
             samples=t * 2 * c,
         )
+        from idsp_tpu.filters.hbf_pallas import hbf_int_cascade_mxu
+
+        x_int_w = jnp.asarray(
+            rng.normal(size=(t // 8, 2 * c)).astype(np.float32))
+        run_trials(
+            f"hbf int8 cascade (mxu, lanes={2 * c})",
+            lambda st, x: hbf_int_cascade_mxu(st, x),
+            hbf.hbf_int_cascade_init(3, (2 * c,), axis=0), x_int_w,
+            samples=(t // 8) * 2 * c,
+        )
         run_trials(
             "hbf int8 cascade (pallas)",
             lambda st, x: hbf_int_cascade_bank(st, x, time_chunk=128),
@@ -1139,6 +1149,9 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "same (banded-MXU stages, Toeplitz sub-blocked, split3 "
             "operands ~1e-5 rel; ~3.3x the shift kernel, ~95% of the "
             "HBM bound)",
+        "hbf int8 cascade (mxu, lanes=1024)":
+            "same (interpolation twin of the banded-MXU cascade; "
+            "low-rate input samples counted)",
         "hbf int8 cascade": "476.7 cyc/smp M7",
         "hbf int8 cascade (pallas)": "same",
         "cic dec N=3 R=16": "2.84/1.70 cyc/smp x86 (mono/chunked)",

@@ -586,3 +586,185 @@ def _hbf_dec_mxu_impl(taps_static, carries, xs, *, block, sub,
         interpret=interpret,
     )(*carries, xs, *ws)
     return tuple(outs[1:]), outs[0]
+
+
+# --- MXU banded-matmul interpolation cascade ----------------------------------
+
+
+def _hbf_int_band_matrix(taps, su: int, kp: int) -> np.ndarray:
+    """(2*su, kp + su) banded operator of one half-band int-by-2 stage
+    window (same math as the shift kernel's `_hbf_int_cascade_impl`):
+    FIR output in even rows, the M-delayed center tap in odd rows
+    (hbf.rs:208-236), over [zero-pad | low-rate tail | window]."""
+    taps = np.asarray(taps, np.float64)
+    m = taps.shape[0]
+    ln = 2 * m - 1
+    o = kp - ln
+    w = np.zeros((2 * su, kp + su), np.float32)
+    for j in range(su):
+        for i in range(m):
+            w[2 * j, o + j + i] += np.float32(taps[i])
+            w[2 * j, o + j + ln - i] += np.float32(taps[i])
+        w[2 * j + 1, o + j + m] += 1.0
+    return w
+
+
+def hbf_int_cascade_mxu(states, xs, *, taps=None, block: int = 64,
+                        sub: int = 32, precision: str = "split3",
+                        interpret: bool = False, vma=None):
+    """Interpolate-by-2**depth half-band cascade as banded MXU matmuls.
+
+    Same I/O contract as `hbf_int_cascade_bank` ((t, c) low-rate in,
+    (t * 2**depth, c) out, axis=0 `HbfIntState` tuple) but each stage
+    window is ONE (2*su, kp+su) x (kp+su, c) dot against a static
+    Toeplitz band — the interpolation twin of `hbf_dec_cascade_mxu`
+    (see its docstring for the precision modes and the round-5
+    issue-bound diagnosis of the shift kernels).  Stage-0 carried
+    state is exact input copies; later stages and outputs are
+    tolerance-gated vs `hbf.hbf_int_cascade`.
+    """
+    if taps is None:
+        from .hbf import HBF_TAPS
+
+        taps = HBF_TAPS
+    depth = len(states)
+    stage_taps = tuple(taps[i] for i in range(depth))
+    ms = [len(tv) for tv in stage_taps]
+    kps = [-(-(2 * m - 1) // 8) * 8 for m in ms]
+    c2 = xs.shape[1]
+    carries = []
+    for st, m, kp in zip(states, ms, kps):
+        ln = 2 * m - 1
+        carry = jnp.zeros((kp, c2), st.x.dtype)
+        carries.append(carry.at[kp - ln:].set(st.x))
+    new_carries, y = _hbf_int_mxu_impl(
+        _taps_key(states, stage_taps), tuple(carries), xs, block=block,
+        sub=sub, precision=precision, interpret=interpret,
+        vma=as_vma(vma),
+    )
+    return (
+        tuple(
+            HbfIntState(x=cr[kp - (2 * m - 1):])
+            for cr, m, kp in zip(new_carries, ms, kps)
+        ),
+        y,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("block", "sub", "precision",
+                                    "interpret", "vma"))
+def _hbf_int_mxu_impl(taps_static, carries, xs, *, block, sub,
+                      precision, interpret, vma=None):
+    depth = len(taps_static)
+    r = 1 << depth
+    t, c2 = xs.shape
+    assert c2 % 128 == 0, "channel count must be a multiple of 128"
+    ms = [len(tv) for tv in taps_static]
+    kps = [-(-(2 * m - 1) // 8) * 8 for m in ms]
+
+    b = min(block, t)
+    while t % b or b % 8:
+        b -= 8
+        if b <= 0:
+            raise ValueError(f"no block size divides t={t}")
+    ins_rows = [b << d for d in range(depth)]  # per-stage input rows
+    sus = []
+    for n_in in ins_rows:
+        su = min(sub, n_in)
+        while n_in % su:
+            su -= 8
+        sus.append(max(su, 8))
+    ws = [
+        jnp.asarray(_hbf_int_band_matrix(tv, su, kp))
+        for tv, su, kp in zip(taps_static, sus, kps)
+    ]
+    grid = (t // b,)
+
+    def kernel(*refs):
+        cin = refs[0:depth]
+        x_ref = refs[depth]
+        w_refs = refs[depth + 1:2 * depth + 1]
+        y_ref = refs[2 * depth + 1]
+        cout = refs[2 * depth + 2:3 * depth + 2]
+        scr = refs[3 * depth + 2:]
+        car = scr[0:depth]
+        ext = scr[depth:2 * depth]
+
+        i = pl.program_id(0)
+        n_i = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _():
+            for cr, ci in zip(car, cin):
+                cr[...] = ci[...]
+
+        ext[0][kps[0]:kps[0] + b] = x_ref[...]
+        for d in range(depth):
+            kp, n_in, su = kps[d], ins_rows[d], sus[d]
+            ext[d][0:kp] = car[d][...]
+            car[d][...] = ext[d][n_in:n_in + kp]
+            wv = w_refs[d][...]
+            if precision == "split3":
+                wh = wv.astype(jnp.bfloat16)
+                wl = (wv - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            win = kp + su
+            for q in range(n_in // su):
+                ev = ext[d][su * q:su * q + win]
+                if precision == "split3":
+                    eh = ev.astype(jnp.bfloat16)
+                    el = (ev - eh.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    v = (
+                        jnp.dot(wh, eh,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(wh, el,
+                                  preferred_element_type=jnp.float32)
+                        + jnp.dot(wl, eh,
+                                  preferred_element_type=jnp.float32)
+                    )
+                else:
+                    v = jnp.dot(wv, ev, precision=precision,
+                                preferred_element_type=jnp.float32)
+                if d + 1 < depth:
+                    ext[d + 1][kps[d + 1] + 2 * su * q:
+                               kps[d + 1] + 2 * su * q + 2 * su] = v
+                else:
+                    y_ref[2 * su * q:2 * su * q + 2 * su] = v
+
+        @pl.when(i == n_i - 1)
+        def _():
+            for cr, co in zip(car, cout):
+                co[...] = cr[...]
+
+    def fixed(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    walk_in = pl.BlockSpec((b, c2), lambda i: (i, i * 0),
+                           memory_space=pltpu.VMEM)
+    walk_out = pl.BlockSpec((b * r, c2), lambda i: (i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [fixed(kp, c2) for kp in kps]
+            + [walk_in]
+            + [fixed(w.shape[0], w.shape[1]) for w in ws]
+        ),
+        out_specs=[walk_out] + [fixed(kp, c2) for kp in kps],
+        out_shape=(
+            [jax.ShapeDtypeStruct((t * r, c2), jnp.float32, vma=vma)]
+            + [jax.ShapeDtypeStruct((kp, c2), jnp.float32, vma=vma)
+               for kp in kps]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((kp, c2), jnp.float32) for kp in kps]
+            + [pltpu.VMEM((kp + n_in, c2), jnp.float32)
+               for kp, n_in in zip(kps, ins_rows)]
+        ),
+        interpret=interpret,
+    )(*carries, xs, *ws)
+    return tuple(outs[1:]), outs[0]

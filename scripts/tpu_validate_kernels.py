@@ -660,6 +660,24 @@ def main():
         print(f"hbf_dec_cascade_mxu (<=5e-5 rel)   "
               f"{'OK' if okmx else 'MISMATCH'} (dmax={dm / sc_m:.2e})",
               flush=True)
+
+        from idsp_tpu.filters.hbf_pallas import hbf_int_cascade_mxu
+
+        xlo2 = jnp.asarray(rng.normal(size=(64, c)).astype(np.float32))
+        iref3b = hbf.hbf_int_cascade_init(3, (c,), axis=0)
+        iref3b, yint_rb = hbf.hbf_int_cascade(iref3b, xlo2, axis=0)
+        imx3 = hbf.hbf_int_cascade_init(3, (c,), axis=0)
+        imx3, yint_m = hbf_int_cascade_mxu(imx3, xlo2, block=32,
+                                           sub=16)
+        sc_i2 = float(max(_np2.abs(_np2.asarray(yint_rb)).max(), 1.0))
+        di2 = float(
+            _np2.abs(_np2.asarray(yint_m) - _np2.asarray(yint_rb)).max()
+        )
+        okimx = di2 <= 5e-5 * sc_i2
+        ok = ok and okimx
+        print(f"hbf_int_cascade_mxu (<=5e-5 rel)   "
+              f"{'OK' if okimx else 'MISMATCH'} (dmax={di2 / sc_i2:.2e})",
+              flush=True)
     except Exception as e:  # noqa: BLE001
         ok = False
         print(f"hbf_dec_cascade_mxu                FAILED: {str(e)[:200]}",

@@ -210,3 +210,32 @@ def test_dec_cascade_mxu_matches_xla():
                                 interpret=True)
     np.testing.assert_array_equal(
         np.asarray(jnp.concatenate([ya, yb], axis=0)), np.asarray(y_m))
+
+
+def test_int_cascade_mxu_matches_xla():
+    # interpolation twin of the banded-MXU cascade: FIR rows even,
+    # center-tap delay rows odd, per Toeplitz window dot.
+    from idsp_tpu.filters.hbf_pallas import hbf_int_cascade_mxu
+
+    t, c = 64, 128
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    st_r, y_ref = hbf.hbf_int_cascade(
+        hbf.hbf_int_cascade_init(3, (c,), axis=0), x, axis=0)
+    st_m, y_m = hbf_int_cascade_mxu(
+        hbf.hbf_int_cascade_init(3, (c,), axis=0), x, block=32,
+        sub=16, interpret=True)
+    sc = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_m - y_ref).max()) < 5e-5 * sc
+    np.testing.assert_array_equal(np.asarray(st_m[0].x),
+                                  np.asarray(st_r[0].x))
+    for a, b in zip(st_m[1:], st_r[1:]):
+        assert float(jnp.abs(a.x - b.x).max()) < 5e-5 * sc
+
+    st_s = hbf.hbf_int_cascade_init(3, (c,), axis=0)
+    st_s, ya = hbf_int_cascade_mxu(st_s, x[: t // 2], block=32, sub=16,
+                                   interpret=True)
+    _, yb = hbf_int_cascade_mxu(st_s, x[t // 2:], block=32, sub=16,
+                                interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([ya, yb], axis=0)), np.asarray(y_m))
