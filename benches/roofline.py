@@ -651,8 +651,15 @@ def main(argv=None):
         elif not args.skip_measure:
             try:
                 jfn = jax.jit(fn)
-                _guard.await_good_window(name)
-                dt = _measure(jfn, *fargs, iters=6, sync=sync)
+                # bracket the measurement with the canary: re-measure
+                # (up to 2 retries) if a slow window opened mid-run
+                for _retry in range(3):
+                    _guard.await_good_window(name)
+                    dt = _measure(jfn, *fargs, iters=6, sync=sync)
+                    if _guard.check():
+                        break
+                    print(f"# {name}: slow window opened during the "
+                          "measurement — re-measuring", flush=True)
                 achieved = samples / dt
                 pct = 100.0 * achieved / limit_rate
             except Exception as e:  # noqa: BLE001

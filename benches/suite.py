@@ -165,6 +165,17 @@ def main(argv=None):
 
         for _ in range(trials):
             one_trial()
+        # Bracket check: a slow window can open mid-measurement after
+        # the entry gate passed; discard and re-measure once if the
+        # canary is now slow (round-5: the gate alone still let ~30%
+        # degraded rows through on windowy runs).
+        if not _guard.check():
+            print(f"# {name}: slow window opened during measurement "
+                  "— re-measuring", flush=True)
+            _await_good_window(name)
+            row.rates = []
+            for _ in range(trials):
+                one_trial()
         # Variance control: the chip clock wanders run-to-run; a row
         # whose min-max spread exceeds 40% of the median answers no
         # question.  Keep measuring (up to 4x the base trials) until the

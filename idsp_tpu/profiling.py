@@ -194,6 +194,22 @@ class SlowWindowGuard:
         self.best = None
         self.enabled = True
 
+    def check(self) -> bool:
+        """One canary shot: True if the device is currently fast.
+        Use to BRACKET a measurement (gate before, check after) — a
+        window can open mid-measurement after the gate passed; a
+        measurement bracketed by a bad canary should be re-run."""
+        if not self.enabled:
+            return True
+        try:
+            dt = self._canary()
+        except Exception:  # noqa: BLE001
+            self.enabled = False
+            return True
+        if self.best is None or dt < self.best:
+            self.best = dt
+        return dt <= self.ratio * self.best
+
     def await_good_window(self, label: str = "") -> None:
         if not self.enabled:
             return
