@@ -806,6 +806,13 @@ def main(argv=None):
             ),
             rate_conversion.init_t(4, (c,)), x_hbf.T,
         )
+        run_trials(
+            "rate conv 16x round trip (mxu)",
+            lambda st, x: rate_conversion.round_trip_t(
+                st, x, use_kernel="mxu"
+            ),
+            rate_conversion.init_t(4, (c,)), x_hbf.T,
+        )
 
     # ---- CIC (cic.rs:400-422) ----
     x_cic = jnp.asarray(
@@ -1194,6 +1201,8 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "HBM)",
         "rate conv 16x dec+int round trip": "BASELINE #4 cascade",
         "rate conv 16x round trip (pallas)": "same (2 kernel dispatches)",
+        "rate conv 16x round trip (mxu)":
+            "same (banded-MXU dec+int cascades, 2 dispatches)",
         "hbf dec 3-mul single stage (t-major)":
             "2.5 cyc/item, >2 GS/s/core Skylake",
         "hbf dec 23-mul single stage (t-major)":

@@ -59,9 +59,23 @@ def round_trip_t(state: RateConvState, x, taps=hbf.HBF_TAPS, *,
     With ``use_kernel=True`` both cascades run as single Pallas kernels
     (filters.hbf_pallas) — one dispatch each way, inter-stage
     intermediates VMEM-resident; requires c % 128 == 0.
+    ``use_kernel="mxu"`` routes the banded-MXU cascade kernels instead
+    (round 5: ~3x the shift kernels at production widths; split3
+    operand tolerance ~1e-5 — see hbf_dec_cascade_mxu).
     """
     depth = len(state.dec)
-    if use_kernel:
+    if use_kernel == "mxu":
+        from ..filters.hbf_pallas import (
+            hbf_dec_cascade_mxu, hbf_int_cascade_mxu,
+        )
+
+        st_dec, low = hbf_dec_cascade_mxu(
+            state.dec, x, taps=taps, interpret=interpret
+        )
+        st_int, y = hbf_int_cascade_mxu(
+            state.int_, low, taps=taps, interpret=interpret
+        )
+    elif use_kernel:
         from ..filters.hbf_pallas import (
             hbf_dec_cascade_bank, hbf_int_cascade_bank,
         )

@@ -239,3 +239,17 @@ def test_int_cascade_mxu_matches_xla():
                                 interpret=True)
     np.testing.assert_array_equal(
         np.asarray(jnp.concatenate([ya, yb], axis=0)), np.asarray(y_m))
+
+
+def test_round_trip_mxu_kernels():
+    # rate_conversion round trip through the banded-MXU cascades
+    from idsp_tpu.pipelines import rate_conversion as rc
+
+    t, c, depth = 256, 128, 4
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    _, y_ref = rc.round_trip_t(rc.init_t(depth, (c,)), x)
+    _, y_m = rc.round_trip_t(rc.init_t(depth, (c,)), x,
+                             use_kernel="mxu", interpret=True)
+    sc = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_m - y_ref).max()) < 5e-5 * max(sc, 1e-9)
