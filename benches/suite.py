@@ -734,7 +734,8 @@ def main(argv=None):
             f"hbf int8 cascade (mxu, lanes={2 * c})",
             lambda st, x: hbf_int_cascade_mxu(st, x),
             hbf.hbf_int_cascade_init(3, (2 * c,), axis=0), x_int_w,
-            samples=(t // 8) * 2 * c,
+            # full-rate (output) samples — the int-row convention
+            samples=t * 2 * c,
         )
         run_trials(
             "hbf int8 cascade (pallas)",
@@ -1168,8 +1169,7 @@ def write_md(rows, dev, c, t, iters, trials, rt):
             "operands ~1e-5 rel; ~3.3x the shift kernel, ~95% of the "
             "HBM bound)",
         "hbf int8 cascade (mxu, lanes=1024)":
-            "same (interpolation twin of the banded-MXU cascade; "
-            "low-rate input samples counted)",
+            "same (interpolation twin of the banded-MXU cascade)",
         "hbf int8 cascade": "476.7 cyc/smp M7",
         "hbf int8 cascade (pallas)": "same",
         "cic dec N=3 R=16": "2.84/1.70 cyc/smp x86 (mono/chunked)",
