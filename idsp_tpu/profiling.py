@@ -242,9 +242,16 @@ _CANARY_CACHE = {}
 
 
 def _default_canary() -> float:
-    """Seconds for 20 chained df1_bank_q dispatches on (8192, 512) i32
-    (~25 ms in a good window; 10x that in a slow one — far above the
-    tunnel's readback jitter either way)."""
+    """Seconds for a two-component chained probe: 20 df1_bank_q
+    dispatches on (8192, 512) i32 (VPU/issue-sensitive, ~6 ms) plus a
+    jitted 64x-chained elementwise pass over a 134 MB f32 buffer
+    (HBM-sensitive, ~26 ms at the 660 GB/s stream rate).
+
+    Both components matter: the round-5 windows degraded HBM-bound
+    rows 2-5x while compute-bound kernels (and a compute-only canary)
+    barely moved — consistent with co-tenant bandwidth contention —
+    and the combined ~32 ms of kernel time is enough for a 2x
+    slowdown to clear the tunnel's 30-60 ms readback jitter."""
     import numpy as np
 
     from .design import Filter
@@ -262,13 +269,27 @@ def _default_canary() -> float:
         st = biquad.df1_init((512,), jnp.int32)
         st1, y = df1_bank_q(ba_q, st, x, 29, time_chunk=64, unroll=16)
         sync(y)  # compile + warm before the first timed call
-        _CANARY_CACHE["args"] = (ba_q, st, x)
-    ba_q, st, x = _CANARY_CACHE["args"]
+        big = jnp.asarray(
+            rng.normal(size=(8192, 4096)).astype(np.float32))
+
+        # fori with a TRACED trip count: a Python-unrolled add chain
+        # would fuse into one read-modify-write pass; the loop carry
+        # round-trips the 134 MB buffer through HBM per iteration
+        # (128 x 268 MB ~ 34 GB ~ 52 ms at the stream peak).
+        @jax.jit
+        def stream(v, n):
+            return jax.lax.fori_loop(0, n, lambda i, vv: vv + 1.0, v)
+
+        n128 = jnp.int32(128)
+        sync(stream(big, n128))
+        _CANARY_CACHE["args"] = (ba_q, st, x, stream, big, n128)
+    ba_q, st, x, stream, big, n128 = _CANARY_CACHE["args"]
     t0 = time.perf_counter()
     s2 = st
     for _ in range(20):
         s2, y = df1_bank_q(ba_q, s2, x, 29, time_chunk=64, unroll=16)
     sync(y)
+    sync(stream(big, n128))
     return time.perf_counter() - t0
 
 
