@@ -569,6 +569,8 @@ def main(argv=None):
         )
 
     # ---- FIR / HBF (hbf.rs:29-54) ----
+    del phases, xy, xs_f64  # free ~320 MB of early fixtures
+
     x_hbf = jnp.asarray(rng.normal(size=(c, t)).astype(np.float32))
     taps8 = jnp.asarray(
         np.array([0.01, -0.05, 0.12, 0.44], np.float32)
@@ -794,6 +796,8 @@ def main(argv=None):
     # ---- rate-conversion round trip (BASELINE config #4) ----
     from idsp_tpu.pipelines import rate_conversion
 
+    del ph_fm, re_fm, im_fm  # free 192 MB of fm fixtures (HBM headroom)
+
     run_trials(
         "rate conv 16x dec+int round trip",
         jax.jit(lambda st, x: rate_conversion.round_trip(st, x)),
@@ -1006,6 +1010,8 @@ def main(argv=None):
         jax.jit(_chz_fused), chz.init_planes(m_ch, 8), zr_big, zi_big,
         samples=n_big * m_ch,
     )
+
+    del zr_big, zi_big, zr_pl, zi_pl, x_fr  # free channelizer fixtures
 
     # ---- 1024-channel DDC bank with per-channel PLL (BASELINE #5) ----
     from idsp_tpu.pipelines import ddc_bank

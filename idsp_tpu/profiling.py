@@ -270,17 +270,19 @@ def _default_canary() -> float:
         st1, y = df1_bank_q(ba_q, st, x, 29, time_chunk=64, unroll=16)
         sync(y)  # compile + warm before the first timed call
         big = jnp.asarray(
-            rng.normal(size=(8192, 4096)).astype(np.float32))
+            rng.normal(size=(4096, 4096)).astype(np.float32))
 
         # fori with a TRACED trip count: a Python-unrolled add chain
         # would fuse into one read-modify-write pass; the loop carry
-        # round-trips the 134 MB buffer through HBM per iteration
-        # (128 x 268 MB ~ 34 GB ~ 52 ms at the stream peak).
+        # round-trips the 67 MB buffer through HBM per iteration
+        # (256 x 134 MB ~ 34 GB ~ 52 ms at the stream peak; the
+        # buffer is kept small — a 134 MB canary buffer OOMed the
+        # full suite on top of its own fixtures).
         @jax.jit
         def stream(v, n):
             return jax.lax.fori_loop(0, n, lambda i, vv: vv + 1.0, v)
 
-        n128 = jnp.int32(128)
+        n128 = jnp.int32(256)
         sync(stream(big, n128))
         _CANARY_CACHE["args"] = (ba_q, st, x, stream, big, n128)
     ba_q, st, x, stream, big, n128 = _CANARY_CACHE["args"]
