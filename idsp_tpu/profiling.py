@@ -186,13 +186,41 @@ class SlowWindowGuard:
     """
 
     def __init__(self, canary=None, ratio: float = 2.5,
-                 max_wait_s: float = 600.0, sleep_s: float = 20.0):
+                 max_wait_s: float = 600.0, sleep_s: float = 20.0,
+                 best_path: str = "/root/repo/benches/CANARY.json"):
         self._canary = canary or _default_canary
         self.ratio = ratio
         self.max_wait_s = max_wait_s
         self.sleep_s = sleep_s
         self.best = None
         self.enabled = True
+        # Cross-run baseline: a run that STARTS inside a mild window
+        # would otherwise calibrate "best" to the window itself and
+        # never gate (observed: a full suite run with every HBM-heavy
+        # row 2-4x low and zero gate fires).  Persist the best canary
+        # seen on this device; on per-row timeout the floor resets to
+        # the in-run best so a genuinely changed device cannot stall
+        # every row.
+        self._best_path = best_path
+        try:
+            import json as _json
+
+            with open(best_path) as fh:
+                self.best = float(_json.load(fh)["best_s"])
+        except Exception:  # noqa: BLE001 — no baseline yet
+            pass
+
+    def _record_best(self, dt: float) -> None:
+        if self.best is None or dt < self.best:
+            self.best = dt
+            if self._best_path:
+                try:
+                    import json as _json
+
+                    with open(self._best_path, "w") as fh:
+                        _json.dump({"best_s": dt}, fh)
+                except Exception:  # noqa: BLE001
+                    pass
 
     def check(self) -> bool:
         """One canary shot: True if the device is currently fast.
@@ -206,8 +234,7 @@ class SlowWindowGuard:
         except Exception:  # noqa: BLE001
             self.enabled = False
             return True
-        if self.best is None or dt < self.best:
-            self.best = dt
+        self._record_best(dt)
         return dt <= self.ratio * self.best
 
     def await_good_window(self, label: str = "") -> None:
@@ -222,15 +249,15 @@ class SlowWindowGuard:
                 print(f"# slow-window canary disabled: {str(e)[:80]}",
                       flush=True)
                 return
-            if self.best is None or dt < self.best:
-                self.best = dt
+            self._record_best(dt)
             if dt <= self.ratio * self.best:
                 return
             if time.time() > deadline:
                 print(f"# {label}: slow window never cleared (canary "
                       f"{dt:.2f}s vs best {self.best:.2f}s) — measuring"
-                      " anyway; expect a wide-spread annotation",
-                      flush=True)
+                      " anyway and resetting the baseline to the"
+                      " in-run best", flush=True)
+                self.best = dt  # device may genuinely have changed
                 return
             print(f"# slow window (canary {dt:.2f}s vs best "
                   f"{self.best:.2f}s) — waiting {self.sleep_s:.0f} s",
