@@ -84,6 +84,9 @@ _SLOW_TESTS = {
     "test_biquad_pallas.py::test_pallas_fused_df1_hbf_cascade",
     "test_rate_ddc_bank.py::test_ddc_bank_acquires_offsets",
     "test_biquad_pallas.py::test_pallas_fused_cascade_tiny_fully_unrolled_chunk",
+    "test_hbf_pallas.py::test_dec_cascade_mxu_matches_xla",
+    "test_hbf_pallas.py::test_int_cascade_mxu_matches_xla",
+    "test_hbf_pallas.py::test_round_trip_mxu_kernels",
 }
 
 
