@@ -43,14 +43,16 @@ def main():
 
     for name, runner in (
         ("biquad stack", lambda tc, u: (
-            lambda st, x: fastlo_ddc_bank_block(
-                ba_q, pll_ba, st[0], st[1], ph0, steps, x, 29, d=d,
-                time_chunk=tc, unroll=u),
+            lambda st, x: (lambda bq, pl, ph, y: ((bq, pl), y))(
+                *fastlo_ddc_bank_block(
+                    ba_q, pll_ba, st[0], st[1], ph0, steps, x, 29,
+                    d=d, time_chunk=tc, unroll=u)),
             (biquad.df1_init((2 * c,), jnp.int32), pll.init((c,))))),
         ("lp2 stack", lambda tc, u: (
-            lambda st, x: fastlo_ddc_bank_block_lp(
-                lp_gains, pll_ba, st[0], st[1], ph0, steps, x, n=2,
-                d=d, time_chunk=tc, unroll=u),
+            lambda st, x: (lambda lp, pl, ph, *ys: ((lp, pl), ys))(
+                *fastlo_ddc_bank_block_lp(
+                    lp_gains, pll_ba, st[0], st[1], ph0, steps, x,
+                    n=2, d=d, time_chunk=tc, unroll=u)),
             (lowpass.init(2, (2 * c,)), pll.init((c,))))),
     ):
         for tc, u in ((128, 4), (64, 16), (32, 32), (16, 16), (64, 64)):
