@@ -564,9 +564,10 @@ def flagship_configs(jnp):
     stb = ddc_bank.init_biquad(cb)
 
     def whole_stack(st, x):
+        # tc == unroll: round-5 tuned chunking (tpu_stack_tune.py)
         return ddc_bank.ddc_bank_block_biquad(
             st, x, steps_b, ba_qt, pll_ba, decimate=d,
-            lo_mode="one_kernel")
+            lo_mode="one_kernel", time_chunk=32, unroll=32)
 
     yield ("1024-ch ddc bank whole stack [t=16384]", whole_stack, (stb, xb),
            tb * cb)

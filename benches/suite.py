@@ -1071,17 +1071,19 @@ def main(argv=None):
     )
     run_trials(
         "ddc bank 1024ch (whole stack, 1 kernel)",
+        # tc == unroll: round-5 tuned chunking (tpu_stack_tune.py)
         lambda s, x, stp: ddc_bank.ddc_bank_block_biquad(
             s, x, stp, ba_bank, pll_ba_t, decimate=16,
-            lo_mode="one_kernel"
+            lo_mode="one_kernel", time_chunk=32, unroll=32
         ),
         ddc_bank.init_biquad(cb), x_bank, steps_bank, samples=cb * t,
     )
     run_trials(
         "ddc bank 1024ch (lp2 stack, 1 kernel)",
+        # tc == unroll: round-5 tuned chunking (tpu_stack_tune.py)
         lambda s, x, stp: ddc_bank.ddc_bank_block(
             s, x, stp, lp2_gains, pll_ba_t, decimate=16,
-            lo_mode="one_kernel"
+            lo_mode="one_kernel", time_chunk=32, unroll=32
         ),
         ddc_bank.init(cb), x_bank, steps_bank, samples=cb * t,
     )

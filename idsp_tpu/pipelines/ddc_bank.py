@@ -85,6 +85,8 @@ def ddc_bank_block_biquad(
     decimate: int = 16,
     f: int = 29,
     lo_mode: str = "exact",
+    time_chunk: int = 128,
+    unroll: int = 4,
     interpret: bool = False,
 ):
     """DDC bank with the Pallas Q32 biquad as the channel filter.
@@ -121,7 +123,8 @@ def ddc_bank_block_biquad(
 
         bq_state, pll_state, _ph, yiq_d = fastlo_ddc_bank_block(
             ba_q, pll_ba, state.bq, state.pll, state.nco_phase,
-            nco_steps, x, f, d=decimate, interpret=interpret,
+            nco_steps, x, f, d=decimate, time_chunk=time_chunk,
+            unroll=unroll, interpret=interpret,
         )
         yi_d = yiq_d[:, :c]
         yq_d = yiq_d[:, c:]
@@ -204,6 +207,8 @@ def ddc_bank_block(
     *,
     decimate: int = 16,
     lo_mode: str = "exact",
+    time_chunk: int = 128,
+    unroll: int = 4,
     interpret: bool = False,
 ):
     """Process one block. x: (t,) i32 wideband samples; t must be a
@@ -234,7 +239,7 @@ def ddc_bank_block(
         lp_iq, pll_state, _ph, yiq_d, y_pll = fastlo_ddc_bank_block_lp(
             tuple(int(v) for v in lp_gains), pll_ba, lp_iq, state.pll,
             state.nco_phase, nco_steps, x, n=n_lp, d=decimate,
-            interpret=interpret,
+            time_chunk=time_chunk, unroll=unroll, interpret=interpret,
         )
         yi_d, yq_d = yiq_d[:, :c], yiq_d[:, c:]
         new_state = DdcBankState(
