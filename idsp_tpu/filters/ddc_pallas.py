@@ -1050,7 +1050,7 @@ def fastlo_ddc_bank_block(ba, pll_ba, state: Df1State, pll_state, phase0,
     )
     st_out, pst_out, y, _ypll = _fastlo_ddc_bank_impl(
         ("df1", _ba_static(ba), int(f)), pll_static, st_in,
-        _pack_pll_state(pll_state), phase0, steps, x, int(d),
+        _pack_pll_state(pll_state), phase0, steps, x, d=int(d),
         time_chunk=time_chunk, unroll=unroll, pll_unroll=pll_unroll,
         trig_dtype=jnp.dtype(trig_dtype), x_layout=x_layout,
         interpret=interpret,
@@ -1097,7 +1097,7 @@ def fastlo_ddc_bank_block_lp(lp_gains, pll_ba, lp_state, pll_state,
     st_in = jnp.stack(planes, axis=0)
     st_out, pst_out, y, ypll = _fastlo_ddc_bank_impl(
         ("lp", k_static, n), pll_static, st_in,
-        _pack_pll_state(pll_state), phase0, steps, x, int(d),
+        _pack_pll_state(pll_state), phase0, steps, x, d=int(d),
         time_chunk=time_chunk, unroll=unroll, pll_unroll=pll_unroll,
         trig_dtype=jnp.dtype(trig_dtype), x_layout=x_layout,
         interpret=interpret,

@@ -73,7 +73,7 @@ def init_biquad(n_channels: int) -> DdcBankBiquadState:
 @partial(
     jax.jit,
     static_argnames=("decimate", "f", "ba_q", "pll_ba", "lo_mode",
-                     "interpret"),
+                     "time_chunk", "unroll", "interpret"),
 )
 def ddc_bank_block_biquad(
     state: DdcBankBiquadState,
@@ -196,6 +196,7 @@ def ddc_bank_block_biquad(
 @partial(
     jax.jit,
     static_argnames=("decimate", "lp_gains", "pll_ba", "lo_mode",
+                     "time_chunk", "unroll",
                      "interpret"),
 )
 def ddc_bank_block(
